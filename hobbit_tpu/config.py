@@ -1,0 +1,60 @@
+"""Global protocol parameters.
+
+Mirrors the reference's compile-time constants (``parameter.h``,
+``constants.h``) and mutable globals (``main.cpp:28-74``), but as an explicit
+config object threaded through the API instead of process globals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class CodeParams:
+    """Linear-code parameters (reference ``src/parameter.h``)."""
+
+    target_distance: float = 0.07
+    rs_rate: int = 2
+    alpha: float = 0.211
+    beta: float = 0.1205
+    r: float = 1.72
+    cn: int = 9          # column (C-matrix) expander degree
+    dn: int = 12         # D-matrix expander degree
+    column_size: int = 128
+    distance_threshold: int = 13  # int(1/0.07) - 1
+
+    # Query counts for the tensor-code PCs (reference Elastic_PC.cpp:626-629,
+    # Our_PC.cpp:609-612).
+    queries_rs: int = 700
+    queries_rs_standard: int = 790
+    queries_spielman: int = 5900
+
+
+@dataclasses.dataclass(frozen=True)
+class HobbitConfig:
+    """Top-level prover configuration.
+
+    buffer_bits: log2 of BUFFER_SPACE, the number of field elements resident
+      during streaming proving (reference ``main.cpp`` argv[2]).
+    """
+
+    buffer_bits: int = 16
+    code: CodeParams = dataclasses.field(default_factory=CodeParams)
+    linear_time: bool = False  # Spielman columns (True) vs RS columns (False)
+    recursion: bool = True
+    mimc_rounds: int = 161
+    shockwave_queries: int = 240
+    whir_interleave_bits: int = 4   # 2^k = 16 interleaving
+
+    @property
+    def buffer_space(self) -> int:
+        return 1 << self.buffer_bits
+
+    @property
+    def tensor_row_size(self) -> int:
+        # reference Elastic_PC.cpp:728-734: BUFFER_SPACE / 2^11
+        return max(self.buffer_space >> 11, 2)
+
+
+DEFAULT = HobbitConfig()

@@ -1,0 +1,124 @@
+"""Radix-2 FFT / IFFT over GF(p^2).
+
+Same domain and twiddle convention as the reference (``src/utils.cpp:467-527``):
+bit-reversal permutation, stages of u +/- w^k * v butterflies with
+w = root_of_unity(log n) (inverted for the IFFT), and 1/n scaling on the
+inverse.  Each stage is one fully-vectorized tensor op; the stage loop is a
+static python loop under jit (log n stages), so XLA sees static shapes and
+fuses the twiddle multiply into the butterfly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import field as F
+from . import poly
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev(logn: int) -> np.ndarray:
+    n = 1 << logn
+    rev = np.zeros(n, dtype=np.int32)
+    for i in range(1, n):
+        rev[i] = rev[i >> 1] >> 1 | (i & 1) << (logn - 1)
+    return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _w1(logn: int, inverse: bool):
+    w = F.root_of_unity(logn)
+    if inverse:
+        w = F.py_finv(w)
+    return np.array(w, dtype=np.uint64)
+
+
+@functools.lru_cache(maxsize=None)
+def _ninv(logn: int):
+    return np.array(F.py_finv((1 << logn, 0)), dtype=np.uint64)
+
+
+def fft(v, inverse: bool = False):
+    """In-order FFT of v [n, 2] (n a power of two); returns [n, 2]."""
+    n = v.shape[0]
+    logn = int(np.log2(n))
+    assert (1 << logn) == n
+    if n == 1:
+        return v
+
+    v = v[jnp.asarray(_bitrev(logn))]
+    w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
+
+    size = 2
+    while size <= n:
+        half = size // 2
+        blocks = v.reshape(n // size, size, 2)
+        u, t = blocks[:, :half], blocks[:, half:]
+        tw = w[:: n // size][:half]
+        tv = F.fmul(t, tw[None, :, :])
+        v = jnp.concatenate([F.fadd(u, tv), F.fsub(u, tv)], axis=1).reshape(n, 2)
+        size <<= 1
+
+    if inverse:
+        v = F.fmul(v, jnp.asarray(_ninv(logn))[None, :])
+    return v
+
+
+def ifft(v):
+    return fft(v, inverse=True)
+
+
+def rs_extend(rows, rate: int = 2):
+    """Reed-Solomon x``rate`` row extension: evaluations of the degree-<n
+    polynomial interpolating each row on the 2n-point domain.
+
+    rows: [..., n, 2] -> [..., rate*n, 2].  Coefficients via IFFT on the
+    n-domain, zero-pad, FFT on the (rate*n)-domain; batch dims vectorized.
+    (Reference: `_compute_tensorcode` row loop, PC_utils.cpp:20-31.)
+    """
+    shape = rows.shape
+    n = shape[-2]
+    flat = rows.reshape(-1, n, 2)
+    out = _rs_extend_batch(flat, rate)
+    return out.reshape(shape[:-2] + (rate * n, 2))
+
+
+def _rs_extend_batch(rows, rate: int):
+    b, n = rows.shape[0], rows.shape[1]
+    coeffs = _batch_fft(rows, inverse=True)
+    padded = jnp.concatenate(
+        [coeffs, jnp.zeros((b, (rate - 1) * n, 2), dtype=rows.dtype)], axis=1
+    )
+    return _batch_fft(padded, inverse=False)
+
+
+def _batch_fft(v, inverse: bool):
+    """FFT over axis 1 of [b, n, 2] (same stage loop, batched)."""
+    b, n = v.shape[0], v.shape[1]
+    logn = int(np.log2(n))
+    assert (1 << logn) == n
+    if n == 1:
+        if inverse:
+            return v
+        return v
+    v = v[:, jnp.asarray(_bitrev(logn))]
+    w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
+    size = 2
+    while size <= n:
+        half = size // 2
+        blocks = v.reshape(b, n // size, size, 2)
+        u, t = blocks[:, :, :half], blocks[:, :, half:]
+        tw = w[:: n // size][:half]
+        tv = F.fmul(t, tw[None, None, :, :])
+        v = jnp.concatenate([F.fadd(u, tv), F.fsub(u, tv)], axis=2).reshape(b, n, 2)
+        size <<= 1
+    if inverse:
+        v = F.fmul(v, jnp.asarray(_ninv(logn))[None, None, :])
+    return v
+
+
+__all__ = ["fft", "ifft", "rs_extend"]
