@@ -1,0 +1,169 @@
+"""Multiplication-tree product argument (in-memory).
+
+Proves, for a batch of vectors, that claimed products
+``prod_i = x_i[0] * ... * x_i[n-1]`` are correct: build the binary product
+tree over the concatenated (padded) batch, then descend with one
+beta-weighted 3-product sumcheck per level, chaining claims via
+``(1-c) * v_even + c * v_odd`` (reference ``prove_multiplication_tree_new``,
+sumcheck.cpp:35-257).
+
+The tree build is a log-depth sequence of vectorized pair-multiplies (VPU
+friendly); each level's sumcheck is the vectorized engine from
+``core.sumcheck``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import mimc, poly
+from ..utils.jitting import maybe_jit
+from . import sumcheck as sc
+
+
+class MulTreeProof(NamedTuple):
+    output: jnp.ndarray              # [V, 2] claimed per-vector products
+    out_point: jnp.ndarray           # [log2 V, 2]
+    out_eval: jnp.ndarray            # [2]
+    layer_proofs: tuple              # depth x SumcheckProof (top to bottom)
+    mix_challenges: jnp.ndarray      # [depth, 2] claim-combination challenges
+    final_point: jnp.ndarray         # [log2(V*n), 2] point on the input MLE
+    final_eval: jnp.ndarray          # [2] input MLE evaluation at final_point
+    partial_evals: jnp.ndarray       # [V, 2] per-vector MLE evals
+
+
+def _pad_inputs(vectors: Sequence[jnp.ndarray]):
+    size = max(v.shape[0] for v in vectors)
+    size = 1 << int(np.ceil(np.log2(size)))
+    V = 1 << int(np.ceil(np.log2(len(vectors))))
+    rows = []
+    for v in vectors:
+        if v.shape[0] < size:
+            v = jnp.concatenate([v, F.ones((size - v.shape[0],))], axis=0)
+        rows.append(v)
+    for _ in range(V - len(vectors)):
+        rows.append(F.ones((size,)))  # pad vectors with all-ones (product 1)
+    return jnp.stack(rows), size, V
+
+
+@maybe_jit
+def prove(vectors: Sequence[jnp.ndarray], state):
+    """Prove products of each vector; returns (MulTreeProof, state).
+
+    Padding deviation from the reference: we pad missing batch rows with
+    ones (product 1) rather than zeros, so the padded outputs stay
+    meaningful; sizes pad with ones as the reference does.
+    """
+    mat, size, V = _pad_inputs(vectors)
+    depth = int(np.log2(size))
+    total = mat.reshape(V * size, 2)
+
+    # Build tree: in1/in2/outputs per level (level 0 = leaves pairs).
+    in1s, in2s = [], []
+    cur = total
+    for _ in range(depth):
+        in1s.append(cur[0::2])
+        in2s.append(cur[1::2])
+        cur = F.fmul(cur[0::2], cur[1::2])
+    output = cur  # [V, 2]
+
+    state = mimc.absorb(state, output)
+    state, r = mimc.squeeze(state, int(np.log2(V))) if V > 1 else (state, F.zeros((0,)).reshape(0, 2))
+    out_eval = poly.evaluate_vector(output, r) if V > 1 else output[0]
+    state = mimc.absorb(state, out_eval)
+
+    layer_proofs = []
+    mixes = []
+    point = r
+    claim = out_eval
+    for i in range(depth - 1, -1, -1):
+        beta = poly.beta_table(point)
+        proof, state = sc.prove_3product(in1s[i], in2s[i], beta, state)
+        state, c = mimc.squeeze1(state)
+        layer_proofs.append(proof)
+        mixes.append(c)
+        v1, v2 = proof.final_evals[0], proof.final_evals[1]
+        claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
+        point = jnp.concatenate([c[None, :], proof.challenges], axis=0)
+
+    ind_r = point[: depth]          # bits binding within-vector index
+    glob_r = point[depth:]          # bits binding vector index
+    partial = jnp.stack([poly.evaluate_vector(mat[j], ind_r) for j in range(V)])
+    state = mimc.absorb(state, partial)
+
+    return MulTreeProof(
+        output=output,
+        out_point=r,
+        out_eval=out_eval,
+        layer_proofs=tuple(layer_proofs),
+        mix_challenges=jnp.stack(mixes),
+        final_point=point,
+        final_eval=claim,
+        partial_evals=partial,
+    ), state
+
+
+def _beta_pair_eval(r1, r2):
+    """eq(r1, r2) = prod_j ((1-r1_j)(1-r2_j) + r1_j r2_j)."""
+    one = F.scalar(1)
+    acc = one
+    for j in range(r1.shape[0]):
+        a = F.fmul(F.fsub(one, r1[j]), F.fsub(one, r2[j]))
+        b = F.fmul(r1[j], r2[j])
+        acc = F.fmul(acc, F.fadd(a, b))
+    return acc
+
+
+@maybe_jit
+def verify(proof: MulTreeProof, state):
+    """Replay the transcript; returns (ok, state).
+
+    Checks: each level's sumcheck chain, that the beta final-eval matches a
+    direct eq() evaluation, the claim chaining, and that the partial
+    per-vector evaluations recombine to the final input evaluation.
+    """
+    V = proof.output.shape[0]
+    depth = len(proof.layer_proofs)
+    ok = jnp.array(True)
+
+    state = mimc.absorb(state, proof.output)
+    if V > 1:
+        state, r = mimc.squeeze(state, int(np.log2(V)))
+        out_eval = poly.evaluate_vector(proof.output, r)
+    else:
+        r = jnp.zeros((0, 2), dtype=jnp.uint64)
+        out_eval = proof.output[0]
+    ok = jnp.logical_and(ok, F.feq(out_eval, proof.out_eval))
+    state = mimc.absorb(state, out_eval)
+
+    point = r
+    claim = out_eval
+    for idx, i in enumerate(range(depth - 1, -1, -1)):
+        p = proof.layer_proofs[idx]
+        okc, chals, cur, state = sc.verify_product_sumcheck(p, claim, state, 3)
+        ok = jnp.logical_and(ok, okc)
+        # third final eval must equal eq(point, chals)
+        ok = jnp.logical_and(
+            ok, F.feq(p.final_evals[2], _beta_pair_eval(point, chals))
+        )
+        state, c = mimc.squeeze1(state)
+        v1, v2 = p.final_evals[0], p.final_evals[1]
+        claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
+        point = jnp.concatenate([c[None, :], chals], axis=0)
+
+    ok = jnp.logical_and(ok, F.feq(claim, proof.final_eval))
+    state = mimc.absorb(state, proof.partial_evals)
+    glob_r = point[depth:]
+    recomb = poly.evaluate_vector(proof.partial_evals, glob_r) if V > 1 \
+        else proof.partial_evals[0]
+    ok = jnp.logical_and(ok, F.feq(recomb, proof.final_eval))
+    return ok, point, state
+
+
+__all__ = ["MulTreeProof", "prove", "verify"]
