@@ -1,0 +1,135 @@
+"""Merkle-tree commitments over BLAKE3 (batched, level-parallel).
+
+TPU-native equivalent of the reference's ``merkle_tree.{h,cpp}``: leaves are
+4 field elements hashed to one 32-byte digest (``MT_commit_Blake``,
+merkle_tree.cpp:193-221), the streaming variant chains groups of 4 elements
+into one running leaf via Merkle-Damgard (``
+hash_double_field_element_merkle_damgard_blake``, :62-87), and the verifier
+de-duplicates shared path nodes when accounting proof size
+(``verify_claim_opt_blake``, :326-360).
+
+Every level is one batched ``hash_pairs`` call — n/2 compressions as a
+single tensor op.  Note: the reference's ``create_tree_blake`` hashes
+(left ‖ left) due to an indexing slip (merkle_tree.cpp:275-280); we hash
+(left ‖ right) as intended.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from . import blake3
+
+
+class MerkleTree(NamedTuple):
+    levels: tuple       # levels[0] = [n, 8] leaf digests, ..., [-1] = [1, 8]
+
+    @property
+    def root(self):
+        return self.levels[-1][0]
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0].shape[0]
+
+
+def build_from_digests(leaves) -> MerkleTree:
+    """Build a tree over [n, 8] uint32 leaf digests (n a power of two)."""
+    n = leaves.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = blake3.hash_pairs(cur[0::2], cur[1::2])
+        levels.append(cur)
+    return MerkleTree(levels=tuple(levels))
+
+
+def commit_fields(values) -> MerkleTree:
+    """Commit to [n, 2] field elements, 4 per leaf (n divisible by 4)."""
+    n = values.shape[0]
+    assert n % 4 == 0
+    leaves = blake3.hash_field_leaves(values.reshape(n // 4, 4, 2))
+    m = leaves.shape[0]
+    if m & (m - 1):
+        pad = (1 << int(np.ceil(np.log2(m)))) - m
+        leaves = jnp.concatenate(
+            [leaves, jnp.zeros((pad, 8), dtype=leaves.dtype)], axis=0)
+    return build_from_digests(leaves)
+
+
+def commit_fields_chained(chunks) -> MerkleTree:
+    """Streaming-PC leaf rule: chunks [c, n, 2] with each column of c chunks
+    chained into one leaf: leaf = H(H(chunk_c) ‖ ... ) Merkle-Damgard style.
+
+    chunks[k] contributes groups of 4 elements; successive chunks extend the
+    same leaf (Elastic_PC commit accumulation, Elastic_PC.cpp:228-243).
+    """
+    c, n = chunks.shape[0], chunks.shape[1]
+    assert n % 4 == 0
+    prev = jnp.zeros((n // 4, 8), dtype=jnp.uint32)
+    for k in range(c):
+        prev = blake3.hash_chained_leaf(chunks[k].reshape(n // 4, 4, 2), prev)
+    m = prev.shape[0]
+    if m & (m - 1):
+        pad = (1 << int(np.ceil(np.log2(m)))) - m
+        prev = jnp.concatenate(
+            [prev, jnp.zeros((pad, 8), dtype=prev.dtype)], axis=0)
+    return build_from_digests(prev)
+
+
+def open_leaf(tree: MerkleTree, index: int):
+    """Authentication path for one leaf: [depth, 8] sibling digests."""
+    path = []
+    pos = int(index)
+    for level in tree.levels[:-1]:
+        path.append(level[pos ^ 1])
+        pos //= 2
+    return jnp.stack(path) if path else jnp.zeros((0, 8), dtype=jnp.uint32)
+
+
+def open_leaves(tree: MerkleTree, indices):
+    """Batch open: [q, depth, 8]."""
+    return jnp.stack([open_leaf(tree, int(i)) for i in indices])
+
+
+def verify_leaf(root, leaf_digest, index: int, path) -> bool:
+    cur = leaf_digest
+    pos = int(index)
+    for d in range(path.shape[0]):
+        sib = path[d]
+        left = jnp.where(pos & 1, sib, cur)
+        right = jnp.where(pos & 1, cur, sib)
+        cur = blake3.hash_pairs(left[None, :], right[None, :])[0]
+        pos //= 2
+    return bool(jnp.all(cur == root))
+
+
+def dedup_path_size(indices: Sequence[int], num_leaves: int) -> int:
+    """Number of 32-byte digests actually transmitted for a batch of
+    openings, counting shared path nodes once (verify_claim_opt_blake's
+    ``visited[]`` rule, merkle_tree.cpp:326-360)."""
+    visited = set()
+    count = 0
+    depth = int(np.log2(num_leaves))
+    for idx in indices:
+        pos_element = num_leaves + int(idx)
+        for _ in range(depth):
+            if (pos_element ^ 1) in visited:
+                break
+            visited.add(pos_element ^ 1)
+            count += 1
+            pos_element //= 2
+            visited.add(pos_element)
+    return count
+
+
+__all__ = [
+    "MerkleTree", "build_from_digests", "commit_fields",
+    "commit_fields_chained", "open_leaf", "open_leaves", "verify_leaf",
+    "dedup_path_size",
+]
