@@ -1,0 +1,145 @@
+"""Random bipartite expander graphs for the Spielman/Brakedown linear code.
+
+Reference: ``src/expanders.h`` (degrees cn=9 / dn=12, rate params
+alpha=0.211, r=1.72, recursion floor distance_threshold=13,
+``src/parameter.h:4-9``).  The reference stores per-node neighbor/weight
+lists built from libc ``rand()``; here each level is a static edge list
+(src, dst, weight) *pre-sorted by destination* so that on-device encoding is
+a gather + one segmented modular reduction — the TPU-native form of a sparse
+matrix-vector product.  Graphs are derived from a seeded PRNG, making the
+commitment key deterministic and reproducible.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CodeParams
+from . import field as F
+
+
+class ExpanderEdges(NamedTuple):
+    """One bipartite expander as a dst-sorted edge list."""
+    src: jnp.ndarray      # [E] int32
+    dst: jnp.ndarray      # [E] int32 (sorted ascending)
+    weight: jnp.ndarray   # [E, 2] field
+    n_in: int
+    n_out: int
+
+
+class CodeLevel(NamedTuple):
+    C: ExpanderEdges      # n -> floor(alpha*n)
+    D: ExpanderEdges      # L -> floor(n*(r-1)) - L
+    n: int                # message length at this level
+    mid: int              # C output length
+    rec_len: int          # length of recursive codeword of mid
+    out_len: int          # n + rec_len + D.n_out
+
+
+class SpielmanCode(NamedTuple):
+    levels: tuple         # of CodeLevel, outermost first
+    n: int
+    codeword_len: int     # total length (~ r*n), before zero-pad to 2n
+
+
+def _make_expander(rng, L: int, R: int, d: int) -> ExpanderEdges:
+    src = np.repeat(np.arange(L, dtype=np.int64), d)
+    dst = rng.integers(0, R, size=L * d, dtype=np.int64)
+    wre = rng.integers(0, F.P, size=L * d, dtype=np.uint64)
+    wim = rng.integers(0, F.P, size=L * d, dtype=np.uint64)
+    order = np.argsort(dst, kind="stable")
+    return ExpanderEdges(
+        src=jnp.asarray(src[order], dtype=jnp.int32),
+        dst=jnp.asarray(dst[order], dtype=jnp.int32),
+        weight=jnp.asarray(np.stack([wre[order], wim[order]], axis=-1)),
+        n_in=L,
+        n_out=R,
+    )
+
+
+def build_code(n: int, params: CodeParams = CodeParams(), seed: int = 666) -> SpielmanCode:
+    """Build the recursive expander structure for messages of length n.
+
+    Mirrors ``expander_init_store`` (expanders.h:78-92): sizes use the same
+    C double-arithmetic truncations so level shapes match the reference.
+    """
+    rng = np.random.default_rng(seed)
+    levels: List[CodeLevel] = []
+
+    def rec(m: int) -> int:
+        if m <= params.distance_threshold:
+            return m
+        R = int(params.alpha * m)
+        C = _make_expander(rng, m, R, params.cn)
+        L = rec(R)
+        dR = int(m * (params.r - 1) - L)
+        D = _make_expander(rng, L, dR, params.dn)
+        levels.append(CodeLevel(C=C, D=D, n=m, mid=R, rec_len=L,
+                                out_len=m + L + dR))
+        return m + L + dR
+
+    # rec appends innermost-first; store outermost-first.
+    total = rec(n)
+    levels.reverse()
+    return SpielmanCode(levels=tuple(levels), n=n, codeword_len=total)
+
+
+def spmv(edges: ExpanderEdges, x):
+    """Sparse expander multiply: y[t] = sum_{(s,t,w)} w * x[..., s, :].
+
+    x: [..., n_in, 2] -> [..., n_out, 2].  The modular segmented sum splits
+    each 61-bit product into 32-bit limbs so uint64 accumulation over up to
+    2^31 edges cannot overflow, then recombines mod p.
+    """
+    vals = F.fmul(x[..., edges.src, :], edges.weight)       # [..., E, 2]
+    lo = vals & np.uint64(0xFFFFFFFF)
+    hi = vals >> np.uint64(32)
+
+    def seg(v):
+        return jax.ops.segment_sum(
+            v, edges.dst, num_segments=edges.n_out,
+            indices_are_sorted=True)
+
+    if vals.ndim == 2:
+        lo_s, hi_s = seg(lo), seg(hi)
+    else:
+        lead = vals.shape[:-2]
+        flat_lo = lo.reshape((-1,) + lo.shape[-2:])
+        flat_hi = hi.reshape((-1,) + hi.shape[-2:])
+        lo_s = jax.vmap(seg)(flat_lo).reshape(lead + (edges.n_out, 2))
+        hi_s = jax.vmap(seg)(flat_hi).reshape(lead + (edges.n_out, 2))
+
+    lo_m = F._canon((lo_s >> np.uint64(61)) + (lo_s & np.uint64(F.P)))
+    hi_m = F._canon((hi_s >> np.uint64(61)) + (hi_s & np.uint64(F.P)))
+    return F.addmod(F.mulmod(hi_m, np.uint64(1 << 32)), lo_m)
+
+
+def encode(code: SpielmanCode, x):
+    """Spielman encode: x [..., n, 2] -> [..., codeword_len, 2].
+
+    codeword = [x ‖ encode(C x) ‖ D encode(C x)] recursively
+    (``encode_monolithic``, linear_code_encode.h:62-119).
+    """
+    def rec(v, li: int):
+        lvl = code.levels[li]
+        assert v.shape[-2] == lvl.n
+        mid = spmv(lvl.C, v)
+        if li + 1 < len(code.levels):
+            z = rec(mid, li + 1)     # levels[li+1].n == lvl.mid
+        else:
+            z = mid                  # mid <= distance_threshold: identity
+        w = spmv(lvl.D, z)
+        return jnp.concatenate([v, z, w], axis=-2)
+
+    if not code.levels:
+        return x
+    return rec(x, 0)
+
+
+__all__ = ["ExpanderEdges", "CodeLevel", "SpielmanCode", "build_code",
+           "spmv", "encode"]
