@@ -245,9 +245,89 @@ def _verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
     return ok, jnp.stack(chals), state
 
 
+# ---------------------------------------------------------------------------
+# Mixed-degree named-array sumcheck (shared fold point across term groups)
+# ---------------------------------------------------------------------------
+
+class MixedSumcheckProof(NamedTuple):
+    polys: jnp.ndarray        # [rounds, maxdeg+1, 2] combined coeffs
+    challenges: jnp.ndarray   # [rounds, 2]
+    final_evals: dict         # name -> [2]
+
+
+@maybe_jit(static_argnums=(1,))
+def prove_mixed(arrays: dict, groups, weights, state):
+    """Sumcheck of sum_g w_g * sum_x prod_{a in g} arrays[a][x].
+
+    arrays: dict name -> [n, 2] (all equal length); groups: tuple of tuples
+    of names (static); weights: [G, 2].  All arrays fold with the SAME
+    challenge each round, so every group's final claim lands on one point.
+    Used by the fold-phase gate consistency (terms of degree 2 and 3 share
+    beta and selector arrays).
+    """
+    names = sorted(arrays.keys())
+    n = arrays[names[0]].shape[0]
+    rounds = int(np.log2(n))
+    maxdeg = max(len(g) for g in groups)
+    vs = dict(arrays)
+    polys, challenges = [], []
+    for _ in range(rounds):
+        lins = {a: _lin(vs[a]) for a in names}
+        total = None
+        for gi, g in enumerate(groups):
+            coeffs = _round_coeffs([lins[a] for a in g])
+            if coeffs.shape[0] < maxdeg + 1:
+                pad = jnp.zeros((maxdeg + 1 - coeffs.shape[0], 2),
+                                dtype=coeffs.dtype)
+                coeffs = jnp.concatenate([pad, coeffs], axis=0)
+            coeffs = F.fmul(coeffs, weights[gi][None, :])
+            total = coeffs if total is None else F.fadd(total, coeffs)
+        state = mimc.absorb(state, total)
+        state, r = mimc.squeeze1(state)
+        vs = {a: poly.fold_once(v, r) for a, v in vs.items()}
+        polys.append(total)
+        challenges.append(r)
+    finals = {a: vs[a][0] for a in names}
+    state = mimc.absorb(state, jnp.stack([finals[a] for a in names]))
+    return MixedSumcheckProof(jnp.stack(polys), jnp.stack(challenges),
+                              finals), state
+
+
+def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
+    """Verify; returns (ok, point, state).  Checks round sums and that the
+    final combined product of per-group evals matches the last claim."""
+    names = sorted(proof.final_evals.keys())
+    rounds = proof.polys.shape[0]
+    ok = jnp.array(True)
+    zero, one = F.scalar(0), F.scalar(1)
+    cur = claim
+    chals = []
+    for i in range(rounds):
+        coeffs = proof.polys[i]
+        s0 = poly.univariate_eval(coeffs[::-1], zero)
+        s1 = poly.univariate_eval(coeffs[::-1], one)
+        ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
+        state = mimc.absorb(state, coeffs)
+        state, r = mimc.squeeze1(state)
+        chals.append(r)
+        cur = poly.univariate_eval(coeffs[::-1], r)
+    state = mimc.absorb(state,
+                        jnp.stack([proof.final_evals[a] for a in names]))
+    total = None
+    for gi, g in enumerate(groups):
+        prod = proof.final_evals[g[0]]
+        for a in g[1:]:
+            prod = F.fmul(prod, proof.final_evals[a])
+        t = F.fmul(weights[gi], prod)
+        total = t if total is None else F.fadd(total, t)
+    ok = jnp.logical_and(ok, F.feq(total, cur))
+    return ok, jnp.stack(chals), state
+
+
 __all__ = [
-    "SumcheckProof", "BatchSumcheckProof",
+    "SumcheckProof", "BatchSumcheckProof", "MixedSumcheckProof",
     "prove_2product", "prove_3product", "prove_4product",
     "verify_product_sumcheck",
     "prove_3product_batch", "verify_3product_batch",
+    "prove_mixed", "verify_mixed",
 ]
