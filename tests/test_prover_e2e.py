@@ -1,0 +1,39 @@
+"""End-to-end circuit proof: commit + wiring + lookups + gate consistency
++ PC openings, full verify round trip."""
+
+import numpy as np
+
+from hobbit_tpu.config import HobbitConfig
+from hobbit_tpu.core import prover
+from hobbit_tpu.models import circuits as C
+from hobbit_tpu.ops import field as F
+
+
+CFG = HobbitConfig(buffer_bits=6)   # tiny buffer to exercise streaming
+
+
+def test_e2e_fun1():
+    prog = C.fun1_arbitrary(3, 6)
+    x = C.fun1_inputs(prog.num_inputs)
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
+    assert ok
+    assert proof.num_chunks * proof.chunk_size >= proof.num_gates
+
+
+def test_e2e_lookup_circuit():
+    prog = C.fun2_range_proof_lookup(4)
+    x = C.fun2_inputs(4)
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    assert proof.lookup_proof is not None
+    ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
+    assert ok
+
+
+def test_e2e_rejects_wrong_inputs():
+    prog = C.fun1_arbitrary(3, 4)
+    x = C.fun1_inputs(prog.num_inputs)
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    x_bad = F.fadd(x, F.scalar(1)[None, :])
+    ok, _ = prover.verify(proof, prog, x_bad, CFG, pc_K=2, pc_rows=4)
+    assert not ok
