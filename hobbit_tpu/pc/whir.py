@@ -1,0 +1,290 @@
+"""WHIR-style multilinear PC: sumcheck-driven FRI folding.
+
+Reference ``whir_commit`` / ``_whir_prove`` (Virgo.cpp:160-178, 519-686):
+commit the polynomial's coefficient form RS-extended x2, then alternate
+k=4 eq-weighted sumcheck rounds (binding the evaluation claim) with FRI
+fold-consistency queries between successively committed codewords, until
+the polynomial is small enough to transmit.
+
+Identities used (this framework's conventions, r_0 = LSB, r_j ~ X^(2^j)):
+folding multilinear variable r_0 with challenge a maps coefficients
+c' = c_even + a*c_odd, equivalently codeword values
+f'(y^2) = (f(y)+f(-y))/2 + a*(f(y)-f(-y))/(2y) — the classic FRI fold
+(reference ``fold``, Virgo.cpp:83-102).  Codewords are stored
+coset-interleaved so one query's 16 preimage values are 4 adjacent Merkle
+leaves (the reference's stride-16 shuffle, Virgo.cpp:169-176).
+
+Deviation (documented): the reference additionally samples out-of-domain
+"zetas" per iteration; we rely on in-domain queries alone (classic
+FRI/BaseFold soundness) with a configurable per-level query count.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import fft as fftm
+from ..ops import merkle, mimc, poly
+
+K_FOLD = 4                      # variables folded per iteration
+FINAL_SIZE = 1 << 6             # transmit the poly below this many coeffs
+QUERIES_PER_LEVEL = 40
+
+
+class WhirCommitment(NamedTuple):
+    codeword: jnp.ndarray       # [2n, 2] interleaved layout
+    tree: merkle.MerkleTree
+    n: int
+
+    @property
+    def root(self):
+        return self.tree.root
+
+
+class WhirLevel(NamedTuple):
+    root: jnp.ndarray                  # [8] next codeword root
+    queries: Tuple[int, ...]           # positions in the *next* domain
+    cosets: jnp.ndarray                # [q, 16, 2] preimage values
+    coset_paths: jnp.ndarray           # [q, 4, depth, 8] paths (4 leaves)
+    next_leaves: jnp.ndarray           # [q, 4, 2] full Merkle leaf values
+    next_paths: jnp.ndarray            # [q, depth, 8]
+
+
+class WhirProof(NamedTuple):
+    sumcheck_polys: jnp.ndarray        # [rounds, 3, 2] quadratic coeffs
+    levels: tuple                      # of WhirLevel
+    final_poly: jnp.ndarray            # [FINAL, 2] coefficients (transmitted)
+
+
+def _interleave(cw, groups: int = 1 << K_FOLD):
+    """[m, 2] codeword -> coset-interleaved layout: the ``groups`` strided
+    positions {p + t*m/groups} become consecutive."""
+    m = cw.shape[0]
+    return jnp.moveaxis(cw.reshape(groups, m // groups, 2), 0, 1).reshape(m, 2)
+
+
+def _deinterleave_gather(cw_inter, positions, m: int,
+                         groups: int = 1 << K_FOLD):
+    """Gather the 16 coset values for each position p (of the folded domain
+    m/groups): interleaved layout stores them at [p*groups + t]."""
+    pos = jnp.asarray(positions, dtype=jnp.int32)
+    idx = pos[:, None] * groups + jnp.arange(groups, dtype=jnp.int32)[None, :]
+    return cw_inter[idx]                            # [q, groups, 2]
+
+
+def _encode(coeffs):
+    """coeffs [n, 2] -> interleaved RS codeword [2n, 2] + tree."""
+    n = coeffs.shape[0]
+    padded = jnp.concatenate(
+        [coeffs, jnp.zeros((n, 2), dtype=coeffs.dtype)], axis=0)
+    cw = fftm.fft(padded)
+    inter = _interleave(cw)
+    tree = merkle.commit_fields(inter)
+    return inter, tree
+
+
+def commit(values) -> WhirCommitment:
+    """values: [n, 2] multilinear evaluations (hypercube)."""
+    coeffs = poly.to_coefficient_form(values)
+    inter, tree = _encode(coeffs)
+    return WhirCommitment(codeword=inter, tree=tree, n=values.shape[0])
+
+
+def _coset_fold(cosets, chals, positions, domain_log: int):
+    """FRI-fold [q, 16, 2] coset values with 4 challenges -> [q, 2].
+
+    positions: folded-domain positions p; level-i pair (t, t+8/2^i) sits at
+    domain points +/- omega^(p + t*stride)."""
+    q = cosets.shape[0]
+    two_inv = F.make(*F.py_finv((2, 0)))
+    m = 1 << domain_log                   # current (unfolded) domain size
+    stride = m // (1 << K_FOLD)
+    vals = cosets
+    pos = np.asarray(positions, dtype=np.int64)
+    cur_m = m
+    cur_stride = stride
+    for i in range(K_FOLD):
+        half = vals.shape[1] // 2
+        w = F.root_of_unity(int(np.log2(cur_m)))
+        w_inv = F.py_finv(w)
+        # y_t = omega^(p + t*cur_stride); 1/(y_t) = w_inv^(p + t*stride)
+        exps = (pos[:, None] + np.arange(half)[None, :] * cur_stride)
+        inv_y = _pow_table(w_inv, exps % cur_m)     # [q, half, 2]
+        a, b = vals[:, :half], vals[:, half:]
+        s = F.fmul(F.fadd(a, b), two_inv[None, None, :])
+        d = F.fmul(F.fmul(F.fsub(a, b), two_inv[None, None, :]), inv_y)
+        vals = F.fadd(s, F.fmul(chals[i][None, None, :], d))
+        cur_m //= 2
+        pos = pos % cur_m                 # y^2 position
+        # stride stays: next level pairs are (t, t + half/2) in the kept half
+    return vals[:, 0]
+
+
+def _pow_table(base_py, exps):
+    """base^exps for a python-int field tuple base and numpy int exps."""
+    flat = exps.reshape(-1)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    vals = np.zeros((len(uniq), 2), dtype=np.uint64)
+    for i, e in enumerate(uniq):
+        vals[i] = F.py_fpow(base_py, int(e))
+    out = vals[inv].reshape(exps.shape + (2,))
+    return jnp.asarray(out)
+
+
+def prove(com: WhirCommitment, values, x, state,
+          queries: int = QUERIES_PER_LEVEL):
+    """Prove f~(x) = y for the committed values; returns (proof, y, state)."""
+    n = com.n
+    rounds_total = int(np.log2(n))
+    beta = poly.beta_table(x)
+    y = F.fdot(values, beta)
+
+    v = values
+    b = beta
+    coeffs = poly.to_coefficient_form(values)
+    cur_inter = com.codeword
+    cur_tree = com.tree
+    domain_log = int(np.log2(2 * n))
+
+    sc_polys = []
+    levels: List[WhirLevel] = []
+    done = 0
+    while v.shape[0] > FINAL_SIZE:
+        chals = []
+        for _ in range(K_FOLD):
+            a1, b1 = F.fsub(v[1::2], v[0::2]), v[0::2]
+            a2, b2 = F.fsub(b[1::2], b[0::2]), b[0::2]
+            cA = F.fsum(F.fmul(a1, a2))
+            cB = F.fadd(F.fsum(F.fmul(a1, b2)), F.fsum(F.fmul(a2, b1)))
+            cC = F.fsum(F.fmul(b1, b2))
+            coeffs3 = jnp.stack([cA, cB, cC])
+            state = mimc.absorb(state, coeffs3)
+            state, r = mimc.squeeze1(state)
+            v = poly.fold_once(v, r)
+            b = poly.fold_once(b, r)
+            half = coeffs.shape[0] // 2
+            ce = coeffs.reshape(half, 2, 2)
+            coeffs = F.fadd(ce[:, 0], F.fmul(r[None, :], ce[:, 1]))
+            sc_polys.append(coeffs3)
+            chals.append(r)
+        done += K_FOLD
+
+        next_inter, next_tree = _encode(coeffs)
+        state = mimc.absorb(state,
+                            next_tree.root.astype(jnp.uint64).reshape(4, 2))
+        state, qs = mimc.squeeze(state, queries)
+        next_m = coeffs.shape[0] * 2
+        positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
+
+        cosets = _deinterleave_gather(cur_inter, positions, 1 << domain_log)
+        # coset leaves: interleaved index p*16 + t -> 4 leaves of 4 values
+        coset_paths = jnp.stack([
+            jnp.stack([merkle.open_leaf(cur_tree, (p * 16 + 4 * l) // 4)
+                       for l in range(4)])
+            for p in positions])
+        nleaves = jnp.stack([
+            next_inter[4 * (_inter_index(p, next_m) // 4):
+                       4 * (_inter_index(p, next_m) // 4) + 4]
+            for p in positions])
+        next_paths = jnp.stack([
+            merkle.open_leaf(next_tree, _inter_index(p, next_m) // 4)
+            for p in positions])
+
+        levels.append(WhirLevel(
+            root=next_tree.root, queries=positions, cosets=cosets,
+            coset_paths=coset_paths, next_leaves=nleaves,
+            next_paths=next_paths))
+        cur_inter, cur_tree = next_inter, next_tree
+        domain_log = int(np.log2(next_m))
+
+    state = mimc.absorb(state, coeffs)
+    return WhirProof(
+        sumcheck_polys=jnp.stack(sc_polys), levels=tuple(levels),
+        final_poly=coeffs,
+    ), y, state
+
+
+def _inter_index(p: int, m: int, groups: int = 1 << K_FOLD) -> int:
+    """Position p of an m-sized codeword -> its index in interleaved layout."""
+    return (p % (m // groups)) * groups + (p // (m // groups))
+
+
+def verify(root, proof: WhirProof, x, y, state,
+           queries: int = QUERIES_PER_LEVEL):
+    """Returns (ok, state)."""
+    from ..ops import blake3
+
+    n = 1 << x.shape[0]
+    ok = True
+    claim = y
+    eq_scalar = F.scalar(1)
+    domain_log = int(np.log2(2 * n))
+    cur_root = root
+    cur_size = n
+    ri = 0
+    zero, one = F.scalar(0), F.scalar(1)
+    done = 0
+
+    for lvl in proof.levels:
+        chals = []
+        for _ in range(K_FOLD):
+            c3 = proof.sumcheck_polys[ri]
+            s0 = poly.eval_quadratic(c3, zero)
+            s1 = poly.eval_quadratic(c3, one)
+            ok = ok and bool(F.feq(F.fadd(s0, s1), claim))
+            state = mimc.absorb(state, c3)
+            state, r = mimc.squeeze1(state)
+            claim = poly.eval_quadratic(c3, r)
+            chals.append(r)
+            # eq factor: beta fold at r against coordinate x_done
+            xj = x[done]
+            e = F.fadd(F.fmul(F.fsub(one, xj), F.fsub(one, r)),
+                       F.fmul(xj, r))
+            eq_scalar = F.fmul(eq_scalar, e)
+            done += 1
+            ri += 1
+        state = mimc.absorb(state, lvl.root.astype(jnp.uint64).reshape(4, 2))
+        state, qs = mimc.squeeze(state, queries)
+        next_m = (cur_size // (1 << K_FOLD)) * 2
+        positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
+        ok = ok and positions == tuple(lvl.queries)
+
+        # membership of the 16 coset values in the current tree
+        for qi, p in enumerate(positions):
+            for l in range(4):
+                leaf_vals = lvl.cosets[qi, 4 * l: 4 * l + 4]
+                leaf = blake3.hash_field_leaves(leaf_vals[None])[0]
+                if not merkle.verify_leaf(cur_root, leaf, p * 4 + l,
+                                          lvl.coset_paths[qi, l]):
+                    ok = False
+
+        # fold consistency against the next committed codeword
+        folded = _coset_fold(lvl.cosets, chals, positions, domain_log)
+        for qi, p in enumerate(positions):
+            ii = _inter_index(p, next_m)
+            ok = ok and bool(F.feq(folded[qi], lvl.next_leaves[qi, ii % 4]))
+            leaf = blake3.hash_field_leaves(lvl.next_leaves[qi][None])[0]
+            if not merkle.verify_leaf(lvl.root, leaf, ii // 4,
+                                      lvl.next_paths[qi]):
+                ok = False
+
+        cur_root = lvl.root
+        cur_size //= 1 << K_FOLD
+        domain_log = int(np.log2(next_m))
+
+    state = mimc.absorb(state, proof.final_poly)
+    # final: claim == eq_scalar * <final values, beta(x_rest)>
+    vals = poly.from_coefficient_form(proof.final_poly)
+    b_rest = poly.beta_table(x[done:])
+    total = F.fmul(eq_scalar, F.fdot(vals, b_rest))
+    ok = ok and bool(F.feq(total, claim))
+    return ok, state
+
+
+__all__ = ["WhirCommitment", "WhirProof", "commit", "prove", "verify",
+           "K_FOLD", "FINAL_SIZE", "QUERIES_PER_LEVEL"]

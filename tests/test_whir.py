@@ -1,0 +1,70 @@
+"""WHIR (sumcheck-FRI) PC tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hobbit_tpu.ops import field as F
+from hobbit_tpu.ops import mimc, poly
+from hobbit_tpu.pc import whir
+
+P = F.P
+RNG = np.random.default_rng(21)
+
+
+def rand_field(n):
+    re = RNG.integers(0, P, size=n, dtype=np.uint64)
+    im = RNG.integers(0, P, size=n, dtype=np.uint64)
+    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+
+
+def test_whir_roundtrip_two_levels():
+    n = 1 << 10  # two folding iterations (1024 -> 64)
+    vals = rand_field(n)
+    com = whir.commit(vals)
+    x = rand_field(10)
+    proof, y, _ = whir.prove(com, vals, x, mimc.fresh_state(), queries=8)
+    np.testing.assert_array_equal(
+        np.asarray(y), np.asarray(poly.evaluate_vector(vals, x)))
+    ok, _ = whir.verify(com.root, proof, x, y, mimc.fresh_state(), queries=8)
+    assert ok
+
+
+def test_whir_rejects_wrong_eval():
+    n = 1 << 9
+    vals = rand_field(n)
+    com = whir.commit(vals)
+    x = rand_field(9)
+    proof, y, _ = whir.prove(com, vals, x, mimc.fresh_state(), queries=6)
+    bad_y = F.fadd(y, F.scalar(1))
+    ok, _ = whir.verify(com.root, proof, x, bad_y, mimc.fresh_state(),
+                        queries=6)
+    assert not ok
+
+
+def test_whir_rejects_tampered_final():
+    n = 1 << 9
+    vals = rand_field(n)
+    com = whir.commit(vals)
+    x = rand_field(9)
+    proof, y, _ = whir.prove(com, vals, x, mimc.fresh_state(), queries=6)
+    bad = proof._replace(final_poly=proof.final_poly.at[0].set(
+        np.asarray(F.fadd(proof.final_poly[0], F.scalar(1)))))
+    ok, _ = whir.verify(com.root, proof, x, y, mimc.fresh_state(), queries=6)
+    assert ok
+    ok2, _ = whir.verify(com.root, bad, x, y, mimc.fresh_state(), queries=6)
+    assert not ok2
+
+
+def test_whir_rejects_tampered_coset():
+    n = 1 << 9
+    vals = rand_field(n)
+    com = whir.commit(vals)
+    x = rand_field(9)
+    proof, y, _ = whir.prove(com, vals, x, mimc.fresh_state(), queries=6)
+    lvl = proof.levels[0]
+    bad_lvl = lvl._replace(cosets=lvl.cosets.at[0, 0].set(
+        np.asarray(F.fadd(lvl.cosets[0, 0], F.scalar(1)))))
+    bad = proof._replace(levels=(bad_lvl,) + proof.levels[1:])
+    ok, _ = whir.verify(com.root, bad, x, y, mimc.fresh_state(), queries=6)
+    assert not ok
