@@ -1,0 +1,168 @@
+"""Elastic PC: the streaming polynomial commitment.
+
+TPU-native re-design of ``Elastic_PC.{hpp,cpp}``: the polynomial is a
+*stream* of K chunks of B coefficients that is never materialized.
+
+commit (one pass, reference Elastic_PC.cpp:174-285): every chunk is
+tensor-encoded on device and absorbed into the chained Merkle leaf state
+(leaf (row-group, column) extends Merkle-Damgard style across chunks);
+an all-zero chunk skips encoding entirely and reuses a cached leaf update
+(the zero-chunk fast path, :206-226).  Resident state: one chunk, one
+codeword, one leaf layer — O(B) memory.
+
+open (two more passes, :316-533, 625-726):
+  pass A   re-stream chunks, eq(x_hi)-weighted aggregate -> B-sized vector;
+  pass B   re-encode every chunk, collecting the queried tensor positions'
+           per-chunk values + Merkle paths.
+The aggregate is bound via a shockwave commitment and the query consistency
+uses code linearity, exactly as the in-memory PC — the streaming variant
+changes only *where the data comes from*.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import blake3
+from ..ops import encode as enc
+from ..ops import field as F
+from ..ops import merkle, mimc, poly
+from . import shockwave as sw
+from . import standard as std
+
+
+class ElasticCommitment(NamedTuple):
+    tree: merkle.MerkleTree
+    params: std.TensorPCParams
+
+    @property
+    def root(self):
+        return self.tree.root
+
+
+class ElasticOpening(NamedTuple):
+    eval_claim: jnp.ndarray
+    aggr: jnp.ndarray                  # [B, 2] transmitted aggregate
+    rows_idx: Tuple[int, ...]
+    cols_idx: Tuple[int, ...]
+    reply: jnp.ndarray                 # [q, K, 4, 2]
+    paths: jnp.ndarray
+
+
+def _zero_leaf_update(params: std.TensorPCParams):
+    """Leaf-state update for an all-zero chunk (cached): chaining with the
+    hash of four zero field elements."""
+    num_leaves = (2 * params.rows // 4) * (2 * params.cols)
+    zero_groups = jnp.zeros((num_leaves, 4, 2), dtype=jnp.uint64)
+    return zero_groups
+
+
+def commit_stream(chunk_fn: Callable[[int], jnp.ndarray],
+                  params: std.TensorPCParams,
+                  zero_from: Optional[int] = None) -> ElasticCommitment:
+    """chunk_fn(i) -> [B, 2] chunk i of the coefficient stream.
+
+    zero_from: chunks >= this index are all-zero (padding) — they take the
+    fast path.  Only O(B) state is resident at any time.
+    """
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    num_leaves = (2 * params.rows // 4) * (2 * params.cols)
+    prev = jnp.zeros((num_leaves, 8), dtype=jnp.uint32)
+    zero_update = None
+    for i in range(params.K):
+        if zero_from is not None and i >= zero_from:
+            if zero_update is None:
+                zero_update = _zero_leaf_update(params)
+            groups = zero_update
+        else:
+            codeword = enc.tensor_encode(spec, chunk_fn(i))
+            groups = std._leaf_groups(codeword)
+        prev = blake3.hash_chained_leaf(groups, prev)
+    if num_leaves & (num_leaves - 1):
+        pad = (1 << int(np.ceil(np.log2(num_leaves)))) - num_leaves
+        prev = jnp.concatenate(
+            [prev, jnp.zeros((pad, 8), dtype=prev.dtype)], axis=0)
+    tree = merkle.build_from_digests(prev)
+    return ElasticCommitment(tree=tree, params=params)
+
+
+def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
+                com: ElasticCommitment, x, state,
+                sw_queries: int = sw.QUERIES):
+    """Streaming open at x; two passes over the chunk stream."""
+    params = com.params
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)
+
+    # ---- pass A: aggregate ------------------------------------------------
+    aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
+    for i in range(params.K):
+        aggr = F.fadd(aggr, F.fmul(beta[i][None, :], chunk_fn(i)))
+    eval_claim = poly.evaluate_vector(aggr, x_lo)
+
+    aggr_tree = merkle.commit_fields(aggr)
+    state = mimc.absorb(state, aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+
+    # ---- pass B: re-encode + query replies -------------------------------
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
+    replies = []
+    for i in range(params.K):
+        codeword = enc.tensor_encode(spec, chunk_fn(i))
+        groups = std._leaf_groups(codeword)
+        replies.append(groups[lid])          # [q, 4, 2]
+    reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
+    paths = merkle.open_leaves(com.tree, leaf_ids)
+
+    return ElasticOpening(
+        eval_claim=eval_claim, aggr=aggr,
+        rows_idx=qrows, cols_idx=qcols, reply=reply, paths=paths,
+    ), state
+
+
+def verify(root, x, opening: ElasticOpening, params: std.TensorPCParams,
+           state, sw_queries: int = sw.QUERIES):
+    """Returns (ok, state).  Naive-recursion mode: the B-sized aggregate is
+    transmitted; the verifier re-encodes it (pc.recursion replaces this
+    with the shockwave/FFT-sumcheck recursion of PC_utils.cpp:396-512)."""
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)
+
+    aggr_tree = merkle.commit_fields(opening.aggr)
+    state = mimc.absorb(state, aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+    if tuple(qrows) != tuple(opening.rows_idx) or \
+       tuple(qcols) != tuple(opening.cols_idx):
+        return False, state
+
+    if not bool(F.feq(poly.evaluate_vector(opening.aggr, x_lo),
+                      opening.eval_claim)):
+        return False, state
+
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    enc_aggr = enc.tensor_encode(spec, opening.aggr)
+    comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
+    for qi, (r, c) in enumerate(zip(qrows, qcols)):
+        if not bool(F.feq(comb[qi, r % 4], enc_aggr[r, c])):
+            return False, state
+        prev = jnp.zeros((8,), dtype=jnp.uint32)
+        for i in range(params.K):
+            prev = blake3.hash_chained_leaf(
+                opening.reply[qi, i][None], prev[None])[0]
+        leaf_id = (r // 4) * (2 * params.cols) + c
+        if not merkle.verify_leaf(root, prev, leaf_id, opening.paths[qi]):
+            return False, state
+    return True, state
+
+
+__all__ = ["ElasticCommitment", "ElasticOpening", "commit_stream",
+           "open_stream", "verify"]

@@ -1,0 +1,71 @@
+"""Streaming Elastic PC tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hobbit_tpu.ops import field as F
+from hobbit_tpu.ops import mimc, poly
+from hobbit_tpu.pc import elastic
+from hobbit_tpu.pc import standard as std
+
+P = F.P
+RNG = np.random.default_rng(55)
+
+
+def rand_field(n):
+    re = RNG.integers(0, P, size=n, dtype=np.uint64)
+    im = RNG.integers(0, P, size=n, dtype=np.uint64)
+    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+
+
+def setup(linear_time=False):
+    N, K, rows = 1 << 12, 4, 8
+    params = std.make_params(N, K, rows, linear_time=linear_time, queries=16)
+    msg = rand_field(N)
+    chunks = msg.reshape(K, params.B, 2)
+    return params, msg, lambda i: chunks[i]
+
+
+def test_elastic_matches_standard_commit_root():
+    # the streaming commit and the in-memory commit agree bit-exactly
+    params, msg, chunk_fn = setup()
+    com_s = elastic.commit_stream(chunk_fn, params)
+    com_m = std.commit(msg, params)
+    np.testing.assert_array_equal(np.asarray(com_s.root),
+                                  np.asarray(com_m.root))
+
+
+def test_elastic_roundtrip():
+    params, msg, chunk_fn = setup()
+    com = elastic.commit_stream(chunk_fn, params)
+    x = rand_field(12)
+    opening, _ = elastic.open_stream(chunk_fn, com, x, mimc.fresh_state())
+    np.testing.assert_array_equal(
+        np.asarray(opening.eval_claim),
+        np.asarray(poly.evaluate_vector(msg, x)))
+    ok, _ = elastic.verify(com.root, x, opening, params, mimc.fresh_state())
+    assert ok
+
+
+def test_elastic_zero_chunk_fast_path():
+    N, K, rows = 1 << 12, 4, 8
+    params = std.make_params(N, K, rows, queries=8)
+    half = rand_field(N // 2)
+    msg = jnp.concatenate([half, jnp.zeros((N // 2, 2), jnp.uint64)])
+    chunks = msg.reshape(K, params.B, 2)
+    com_fast = elastic.commit_stream(lambda i: chunks[i], params, zero_from=2)
+    com_slow = elastic.commit_stream(lambda i: chunks[i], params)
+    np.testing.assert_array_equal(np.asarray(com_fast.root),
+                                  np.asarray(com_slow.root))
+
+
+def test_elastic_rejects_tampered_reply():
+    params, msg, chunk_fn = setup()
+    com = elastic.commit_stream(chunk_fn, params)
+    x = rand_field(12)
+    opening, _ = elastic.open_stream(chunk_fn, com, x, mimc.fresh_state())
+    bad = opening._replace(reply=opening.reply.at[0, 0, 0].set(
+        np.asarray(F.fadd(opening.reply[0, 0, 0], F.scalar(1)))))
+    ok, _ = elastic.verify(com.root, x, bad, params, mimc.fresh_state())
+    assert not ok
