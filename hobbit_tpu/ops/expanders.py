@@ -62,6 +62,60 @@ def _make_expander(rng, L: int, R: int, d: int) -> ExpanderEdges:
     )
 
 
+def transpose_edges(edges: ExpanderEdges) -> ExpanderEdges:
+    """Reverse adjacency (the reference's r_neighbor/r_weight lists,
+    expanders.h:20-47): swap src/dst and re-sort by the new destination."""
+    src = np.asarray(edges.dst)
+    dst = np.asarray(edges.src)
+    w = np.asarray(edges.weight)
+    order = np.argsort(dst, kind="stable")
+    return ExpanderEdges(
+        src=jnp.asarray(src[order], dtype=jnp.int32),
+        dst=jnp.asarray(dst[order], dtype=jnp.int32),
+        weight=jnp.asarray(w[order]),
+        n_in=edges.n_out,
+        n_out=edges.n_in,
+    )
+
+
+_TRANSPOSE_CACHE: dict = {}
+
+
+def _transposed(edges: ExpanderEdges) -> ExpanderEdges:
+    key = id(edges)
+    if key not in _TRANSPOSE_CACHE:
+        _TRANSPOSE_CACHE[key] = transpose_edges(edges)
+    return _TRANSPOSE_CACHE[key]
+
+
+def encode_transpose(code: SpielmanCode, y):
+    """Generator-matrix transpose action: y [..., codeword_len, 2] ->
+    P^T y [..., n, 2].
+
+    Back-propagates codeword weights through the recursive structure
+    (systematic part + D^T into the inner codeword + C^T into the message);
+    used to evaluate the implicit parity matrix at a point (the recursive
+    descent of ``evaluate_parity_matrix``, sumcheck.cpp:2888-2928):
+    MLE(codeword)(rho) = <encode_transpose(code, eq(rho)), message>.
+    """
+    def rec(yv, li: int):
+        lvl = code.levels[li]
+        n, L = lvl.n, lvl.rec_len
+        y_sys = yv[..., :n, :]
+        y_z = yv[..., n:n + L, :]
+        y_w = yv[..., n + L:, :]
+        z_w = F.fadd(y_z, spmv(_transposed(lvl.D), y_w))
+        if li + 1 < len(code.levels):
+            mid_w = rec(z_w, li + 1)
+        else:
+            mid_w = z_w
+        return F.fadd(y_sys, spmv(_transposed(lvl.C), mid_w))
+
+    if not code.levels:
+        return y
+    return rec(y, 0)
+
+
 def build_code(n: int, params: CodeParams = CodeParams(), seed: int = 666) -> SpielmanCode:
     """Build the recursive expander structure for messages of length n.
 
