@@ -30,13 +30,18 @@ from ..streams import trace as trc
 
 
 class Builder:
-    """Incremental levelized circuit builder."""
+    """Incremental levelized circuit builder.
+
+    Consecutive emissions whose operands do not read the pending level's
+    outputs are PACKED into one level (wider levels -> fewer, larger
+    vectorized gather/scatter steps on device)."""
 
     def __init__(self, num_inputs: int, tables: Sequence[np.ndarray] = ()):
         self.num_inputs = num_inputs
         self.tables = [np.asarray(t, dtype=np.uint64) for t in tables]
-        self.levels: List[trc.Level] = []
         self.next_label = num_inputs
+        self._buckets: List[List[trc.Level]] = []   # per-depth emissions
+        self._wire_depth = np.zeros(max(num_inputs, 1), dtype=np.int64)
 
     def _emit(self, types, idx_l, idx_r):
         types = np.asarray(types, dtype=np.uint8)
@@ -45,9 +50,32 @@ class Builder:
         m = len(types)
         idx_o = np.arange(self.next_label, self.next_label + m, dtype=np.int64)
         self.next_label += m
-        self.levels.append(trc.Level(types=types, idx_o=idx_o,
-                                     idx_l=idx_l, idx_r=idx_r))
+        # ASAP schedule: this emission's depth = 1 + max operand depth
+        depth = int(max(self._wire_depth[idx_l].max(initial=-1),
+                        self._wire_depth[idx_r].max(initial=-1))) + 1
+        if len(self._wire_depth) < self.next_label:
+            grow = np.zeros(self.next_label - len(self._wire_depth),
+                            dtype=np.int64)
+            self._wire_depth = np.concatenate([self._wire_depth, grow])
+        self._wire_depth[idx_o] = depth
+        while len(self._buckets) <= depth:
+            self._buckets.append([])
+        self._buckets[depth].append(trc.Level(types=types, idx_o=idx_o,
+                                              idx_l=idx_l, idx_r=idx_r))
         return idx_o
+
+    @property
+    def levels(self) -> List[trc.Level]:
+        out = []
+        for bucket in self._buckets:
+            if bucket:
+                out.append(trc.Level(
+                    types=np.concatenate([p.types for p in bucket]),
+                    idx_o=np.concatenate([p.idx_o for p in bucket]),
+                    idx_l=np.concatenate([p.idx_l for p in bucket]),
+                    idx_r=np.concatenate([p.idx_r for p in bucket]),
+                ))
+        return out
 
     def add(self, l, r):
         l, r = np.broadcast_arrays(np.asarray(l), np.asarray(r))

@@ -88,66 +88,67 @@ class Trace(NamedTuple):
 
 def analyze(levels: Sequence[Level], num_inputs: int,
             tables: Sequence[np.ndarray] = ()) -> CircuitProgram:
-    """Host-side static analysis: counters, final counts, slot allocation."""
+    """Host-side static analysis (vectorized): access counters, final read
+    counts, and register-slot allocation."""
     num_gates = sum(len(l.types) for l in levels)
     num_wires = num_inputs + num_gates
 
-    # --- access counters (reads increment; creation counts as write@1) ----
-    count = np.zeros(num_wires, dtype=np.int64)
-    count[:num_inputs] = 1        # inputs are "created" before the circuit
-    acc_l = np.zeros(num_gates, dtype=np.int64)
-    acc_r = np.zeros(num_gates, dtype=np.int64)
-    g = 0
-    for lvl in levels:
-        m = len(lvl.types)
-        # within a level no gate reads another same-level output, but two
-        # gates may read the same wire: emulate sequential order.
-        for j in range(m):
-            acc_l[g] = count[lvl.idx_l[j]]
-            count[lvl.idx_l[j]] += 1
-            acc_r[g] = count[lvl.idx_r[j]]
-            count[lvl.idx_r[j]] += 1
-            count[lvl.idx_o[j]] = 1   # creation write@1
-            g += 1
-    final_count = count.copy()
+    # --- access counters: acc of read k = 1 + (# earlier reads of wire) ---
+    # reads in sequential order: (l, r) per gate, gates in level order.
+    all_l = np.concatenate([l.idx_l for l in levels]) if levels else \
+        np.zeros(0, np.int64)
+    all_r = np.concatenate([l.idx_r for l in levels]) if levels else \
+        np.zeros(0, np.int64)
+    reads = np.stack([all_l, all_r], axis=1).reshape(-1)
+    order = np.argsort(reads, kind="stable")
+    sorted_reads = reads[order]
+    pos = np.arange(len(reads), dtype=np.int64)
+    if len(reads):
+        run_start = np.concatenate(
+            [[True], sorted_reads[1:] != sorted_reads[:-1]])
+        start_idx = np.maximum.accumulate(np.where(run_start, pos, 0))
+        ranks_sorted = pos - start_idx
+        ranks = np.empty(len(reads), dtype=np.int64)
+        ranks[order] = ranks_sorted
+    else:
+        ranks = np.zeros(0, dtype=np.int64)
+    accs = (ranks + 1).reshape(num_gates, 2)
+    acc_l, acc_r = accs[:, 0].copy(), accs[:, 1].copy()
+    final_count = np.ones(num_wires, dtype=np.int64)
+    np.add.at(final_count, reads, 1)
 
-    # --- last-read position per wire -> slot reuse ------------------------
+    # --- last-read level per wire -> slot reuse ---------------------------
     last_use = np.full(num_wires, -1, dtype=np.int64)
-    g = 0
     for li, lvl in enumerate(levels):
-        for j in range(len(lvl.types)):
-            last_use[lvl.idx_l[j]] = max(last_use[lvl.idx_l[j]], li)
-            last_use[lvl.idx_r[j]] = max(last_use[lvl.idx_r[j]], li)
-            g += 1
-    # wires never read keep their slot until the end (outputs)
+        np.maximum.at(last_use, lvl.idx_l, li)
+        np.maximum.at(last_use, lvl.idx_r, li)
+
     slot_of_wire = np.full(num_wires, -1, dtype=np.int64)
-    free: List[int] = []
-    next_slot = 0
-    # inputs live from level -1
+    slot_of_wire[:num_inputs] = np.arange(num_inputs)
+    next_slot = num_inputs
+    free = np.zeros(0, dtype=np.int64)
+    # group wires by expiry level (slot freed at last_use + 1)
     expiry: dict = {}
-    for w in range(num_inputs):
-        slot_of_wire[w] = next_slot
-        next_slot += 1
-    born_level = np.full(num_wires, -1, dtype=np.int64)
     for li, lvl in enumerate(levels):
-        for j in range(len(lvl.types)):
-            born_level[lvl.idx_o[j]] = li
-    # simple linear scan over levels
-    for li, lvl in enumerate(levels):
-        # free slots of wires whose last use was before this level
-        dead = expiry.pop(li, [])
-        free.extend(dead)
-        for j in range(len(lvl.types)):
-            w = int(lvl.idx_o[j])
-            if free:
-                slot_of_wire[w] = free.pop()
-            else:
-                slot_of_wire[w] = next_slot
-                next_slot += 1
-            lu = int(last_use[w])
-            if lu >= 0:
-                expiry.setdefault(lu + 1, []).append(int(slot_of_wire[w]))
-            # never-read wires keep slots (could be freed at end)
+        dead = expiry.pop(li, None)
+        if dead is not None:
+            free = np.concatenate([free, slot_of_wire[dead]])
+        m = len(lvl.types)
+        take = min(len(free), m)
+        slots = np.empty(m, dtype=np.int64)
+        if take:
+            slots[:take] = free[len(free) - take:]
+            free = free[: len(free) - take]
+        if m > take:
+            slots[take:] = np.arange(next_slot, next_slot + m - take)
+            next_slot += m - take
+        slot_of_wire[lvl.idx_o] = slots
+        lus = last_use[lvl.idx_o]
+        for lu in np.unique(lus[lus >= 0]):
+            ws = lvl.idx_o[lus == lu]
+            key = int(lu) + 1
+            expiry[key] = np.concatenate([expiry[key], ws]) \
+                if key in expiry else ws
     num_slots = next_slot
 
     return CircuitProgram(
@@ -192,21 +193,22 @@ def execute(program: CircuitProgram, inputs) -> Trace:
     mem = mem.at[jnp.asarray(program.slot_of_wire[:program.num_inputs])].set(inputs)
 
     vls, vrs, vos = [], [], []
-    wire_vals = [inputs]
+    label_vals = jnp.zeros((program.num_wires, 2), dtype=jnp.uint64)
+    label_vals = label_vals.at[:program.num_inputs].set(inputs)
     for lvl in program.levels:
         mem, (vl, vr, vo) = _apply_level(mem, lvl, program.slot_of_wire,
                                          program.tables)
         vls.append(vl)
         vrs.append(vr)
         vos.append(vo)
-        wire_vals.append(vo)
+        label_vals = label_vals.at[jnp.asarray(lvl.idx_o)].set(vo)
 
     types = np.concatenate([l.types for l in program.levels]).astype(np.int32)
     idx_o = np.concatenate([l.idx_o for l in program.levels])
     idx_l = np.concatenate([l.idx_l for l in program.levels])
     idx_r = np.concatenate([l.idx_r for l in program.levels])
 
-    all_vals = jnp.concatenate(wire_vals, axis=0)  # ordered by wire label
+    all_vals = label_vals                          # ordered by wire label
 
     return Trace(
         types=jnp.asarray(types),
