@@ -1,0 +1,243 @@
+"""GKR prover/verifier over layered circuits (Libra-style two-phase).
+
+Per layer (output -> input), the claim W-weighted-sum of layer values is
+reduced through two mixed sumchecks (reference in-memory GKR,
+``prover_standard.cpp`` / the streaming per-layer ``prove_circuit(F)`` of
+``prover.cpp:1674-1808``):
+
+phase 1 (over u):  claim = sum_u [ V(u) * (Amul + Aadd1)(u) + Aadd2(u) ]
+    Amul[u]  = sum_{mul gates (o,u,v)} W[o] * V[v]
+    Aadd1[u] = sum_{add gates} W[o]
+    Aadd2[u] = sum_{add gates} W[o] * V[v]
+phase 2 (over v):  proves the three A-evaluations at u*:
+    Amul(u*)  = sum_v mul2(v) V(v),   mul2[v] = sum_mul W[o] bu*[u]
+    Aadd1(u*) = sum_v add2(v),        add2[v] = sum_add W[o] bu*[u]
+    Aadd2(u*) = sum_v add2(v) V(v)
+
+mul2~(v*) and add2~(v*) are evaluations of static wiring predicates that
+the verifier recomputes directly (O(layer) transparent work — the
+reference's inline-verifier model).  The two next-layer claims V(u*), V(v*)
+merge via random (a0, a1) into the next weight vector
+W' = a0*eq(u*) + a1*eq(v*).
+
+All tables are built with sorted modular scatters (static gate orderings
+precomputed per layer); every sumcheck is the vectorized mixed engine.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core import sumcheck as sc
+from ..ops import expanders
+from ..ops import field as F
+from ..ops import mimc, poly
+from . import layered
+
+P1_GROUPS = (("V", "G1"), ("G2",))
+P2_GROUPS = (("V", "mul2"), ("add2",), ("V", "add2"))
+
+
+class LayerMeta(NamedTuple):
+    order_u: np.ndarray     # gate order sorted by u
+    order_v: np.ndarray     # gate order sorted by v
+    n_below: int            # padded (pow2) size of the layer below
+    n_here: int             # padded size of this layer
+
+
+class GkrLayerProof(NamedTuple):
+    p1: sc.MixedSumcheckProof
+    p2: sc.MixedSumcheckProof
+    a_evals: jnp.ndarray    # [3, 2] (Amul, Aadd1, Aadd2) at u*
+
+
+class GkrProof(NamedTuple):
+    output: jnp.ndarray           # [m_out, 2] claimed outputs
+    layer_proofs: tuple
+    input_eval: jnp.ndarray       # [2] input MLE eval at final point
+    final_point: jnp.ndarray      # [log n_in, 2]
+
+
+def _pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m <<= 1
+    return m
+
+
+def _metas(circuit: layered.LayeredCircuit) -> List[LayerMeta]:
+    metas = []
+    for i, lyr in enumerate(circuit.layers):
+        below = circuit.layer_size(i - 1)
+        metas.append(LayerMeta(
+            order_u=np.argsort(lyr.u, kind="stable"),
+            order_v=np.argsort(lyr.v, kind="stable"),
+            n_below=_pow2(below),
+            n_here=_pow2(len(lyr.types)),
+        ))
+    return metas
+
+
+def _pad(v, n):
+    if v.shape[0] == n:
+        return v
+    return jnp.concatenate(
+        [v, jnp.zeros((n - v.shape[0], 2), dtype=jnp.uint64)])
+
+
+def prove(circuit: layered.LayeredCircuit, inputs, state):
+    """Prove the evaluation; returns (GkrProof, state)."""
+    vals = layered.evaluate(circuit, inputs)
+    metas = _metas(circuit)
+    d = circuit.depth
+
+    output = vals[d]
+    state = mimc.absorb(state, output)
+    m_out = metas[d - 1].n_here
+    state, g = mimc.squeeze(state, int(np.log2(m_out)))
+    W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
+    claim = F.fdot(W, output)
+    state = mimc.absorb(state, claim)
+
+    layer_proofs = []
+    for i in range(d - 1, -1, -1):
+        lyr = circuit.layers[i]
+        meta = metas[i]
+        V = _pad(vals[i], meta.n_below)
+        is_add = (jnp.asarray(lyr.types) == layered.G_ADD)
+        Wg = _pad(W, len(lyr.types))[: len(lyr.types)]
+
+        Vv = vals[i][...]  # not needed; V of layer below:
+        V_below = vals[i]
+        Vv_gate = vals[i][jnp.asarray(lyr.v)] if i >= 0 else None
+        # value of the right operand per gate (from layer below)
+        Vv_gate = vals[i][jnp.asarray(lyr.v)]
+
+        wmul = jnp.where(is_add[:, None], jnp.zeros((1, 2), jnp.uint64), Wg)
+        wadd = jnp.where(is_add[:, None], Wg, jnp.zeros((1, 2), jnp.uint64))
+
+        ou = meta.order_u
+        du = jnp.asarray(lyr.u[ou])
+        Amul = expanders.modular_scatter(
+            du, F.fmul(wmul, Vv_gate)[ou], meta.n_below)
+        Aadd1 = expanders.modular_scatter(du, wadd[ou], meta.n_below)
+        Aadd2 = expanders.modular_scatter(
+            du, F.fmul(wadd, Vv_gate)[ou], meta.n_below)
+
+        ones2 = jnp.stack([F.scalar(1), F.scalar(1)])
+        p1, state = sc.prove_mixed(
+            {"V": V, "G1": F.fadd(Amul, Aadd1), "G2": Aadd2},
+            P1_GROUPS, ones2, state)
+        u_star = p1.challenges
+        V_u = p1.final_evals["V"]
+
+        # phase 2 tables at u*
+        beta_u = poly.beta_table(u_star)
+        bu_gate = beta_u[jnp.asarray(lyr.u)]
+        ov = meta.order_v
+        dv = jnp.asarray(lyr.v[ov])
+        mul2 = expanders.modular_scatter(
+            dv, F.fmul(wmul, bu_gate)[ov], meta.n_below)
+        add2 = expanders.modular_scatter(
+            dv, F.fmul(wadd, bu_gate)[ov], meta.n_below)
+
+        a_evals = jnp.stack([
+            F.fdot(mul2, V), F.fsum(add2), F.fdot(add2, V)])
+        state = mimc.absorb(state, a_evals)
+        state, w3 = mimc.squeeze(state, 3)
+        p2, state = sc.prove_mixed(
+            {"V": V, "mul2": mul2, "add2": add2}, P2_GROUPS, w3, state)
+        v_star = p2.challenges
+        V_v = p2.final_evals["V"]
+
+        layer_proofs.append(GkrLayerProof(p1=p1, p2=p2, a_evals=a_evals))
+
+        # chain: W' = a0 eq(u*) + a1 eq(v*), claim' = a0 V(u*) + a1 V(v*)
+        state = mimc.absorb(state, jnp.stack([V_u, V_v]))
+        state, a01 = mimc.squeeze(state, 2)
+        claim = F.fadd(F.fmul(a01[0], V_u), F.fmul(a01[1], V_v))
+        W = F.fadd(F.fmul(a01[0][None, :], beta_u),
+                   F.fmul(a01[1][None, :], poly.beta_table(v_star)))
+        W = W[: circuit.layer_size(i - 1)]
+        final_point = None
+
+    # input layer: claim = <W, inputs>; supply the final evaluation openly
+    input_eval = claim
+    return GkrProof(output=output, layer_proofs=tuple(layer_proofs),
+                    input_eval=input_eval,
+                    final_point=jnp.zeros((0, 2), jnp.uint64)), state
+
+
+def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state):
+    """Replays the transcript.  Returns (ok, weight_vector, claim, state):
+    the caller must check claim == <weight_vector, inputs~> (direct input
+    check or via a PC opening of the input polynomial)."""
+    metas = _metas(circuit)
+    d = circuit.depth
+    ok = jnp.array(True)
+
+    state = mimc.absorb(state, proof.output)
+    m_out = metas[d - 1].n_here
+    state, g = mimc.squeeze(state, int(np.log2(m_out)))
+    W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
+    claim = F.fdot(W, proof.output)
+    state = mimc.absorb(state, claim)
+
+    ones2 = jnp.stack([F.scalar(1), F.scalar(1)])
+    for idx, i in enumerate(range(d - 1, -1, -1)):
+        lyr = circuit.layers[i]
+        meta = metas[i]
+        lp = proof.layer_proofs[idx]
+
+        okp, u_star, state = sc.verify_mixed(lp.p1, claim, P1_GROUPS,
+                                             ones2, state)
+        ok = jnp.logical_and(ok, okp)
+        V_u = lp.p1.final_evals["V"]
+
+        state = mimc.absorb(state, lp.a_evals)
+        # G1(u*) and G2(u*) must match the phase-2-proven A evals
+        ok = jnp.logical_and(ok, F.feq(
+            lp.p1.final_evals["G1"], F.fadd(lp.a_evals[0], lp.a_evals[1])))
+        ok = jnp.logical_and(ok, F.feq(lp.p1.final_evals["G2"],
+                                       lp.a_evals[2]))
+        state, w3 = mimc.squeeze(state, 3)
+        combined = F.fadd(
+            F.fadd(F.fmul(w3[0], lp.a_evals[0]), F.fmul(w3[1], lp.a_evals[1])),
+            F.fmul(w3[2], lp.a_evals[2]))
+        okp2, v_star, state = sc.verify_mixed(lp.p2, combined, P2_GROUPS,
+                                              w3, state)
+        ok = jnp.logical_and(ok, okp2)
+        V_v = lp.p2.final_evals["V"]
+
+        # wiring predicates at (u*, v*): transparent recomputation
+        beta_u = poly.beta_table(u_star)
+        beta_v = poly.beta_table(v_star)
+        Wg = W[: len(lyr.types)]
+        is_add = (lyr.types == layered.G_ADD)
+        bu = beta_u[jnp.asarray(lyr.u)]
+        bv = beta_v[jnp.asarray(lyr.v)]
+        wmul = jnp.where(jnp.asarray(is_add)[:, None],
+                         jnp.zeros((1, 2), jnp.uint64), Wg)
+        wadd = jnp.where(jnp.asarray(is_add)[:, None], Wg,
+                         jnp.zeros((1, 2), jnp.uint64))
+        mul2_eval = F.fsum(F.fmul(F.fmul(wmul, bu), bv))
+        add2_eval = F.fsum(F.fmul(F.fmul(wadd, bu), bv))
+        ok = jnp.logical_and(ok, F.feq(lp.p2.final_evals["mul2"], mul2_eval))
+        ok = jnp.logical_and(ok, F.feq(lp.p2.final_evals["add2"], add2_eval))
+
+        state = mimc.absorb(state, jnp.stack([V_u, V_v]))
+        state, a01 = mimc.squeeze(state, 2)
+        claim = F.fadd(F.fmul(a01[0], V_u), F.fmul(a01[1], V_v))
+        W = F.fadd(F.fmul(a01[0][None, :], beta_u),
+                   F.fmul(a01[1][None, :], beta_v))
+        W = W[: circuit.layer_size(i - 1)]
+
+    ok = jnp.logical_and(ok, F.feq(claim, proof.input_eval))
+    return ok, W, claim, state
+
+
+__all__ = ["GkrProof", "GkrLayerProof", "prove", "verify"]

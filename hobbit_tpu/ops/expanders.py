@@ -173,6 +173,31 @@ def spmv(edges: ExpanderEdges, x):
     return F.addmod(F.mulmod(hi_m, np.uint64(1 << 32)), lo_m)
 
 
+def modular_scatter(dst_sorted, vals, n_out: int):
+    """Field scatter-add: out[d] = sum of vals at positions with dst == d.
+
+    dst_sorted must be ascending (pre-sorted statically); vals [..., E, 2].
+    Same limb-split segmented reduction as spmv (overflow-safe)."""
+    lo = vals & np.uint64(0xFFFFFFFF)
+    hi = vals >> np.uint64(32)
+
+    def seg(v):
+        return jax.ops.segment_sum(v, dst_sorted, num_segments=n_out,
+                                   indices_are_sorted=True)
+
+    if vals.ndim == 2:
+        lo_s, hi_s = seg(lo), seg(hi)
+    else:
+        lead = vals.shape[:-2]
+        lo_s = jax.vmap(seg)(lo.reshape((-1,) + lo.shape[-2:]))
+        hi_s = jax.vmap(seg)(hi.reshape((-1,) + hi.shape[-2:]))
+        lo_s = lo_s.reshape(lead + (n_out, 2))
+        hi_s = hi_s.reshape(lead + (n_out, 2))
+    lo_m = F._canon((lo_s >> np.uint64(61)) + (lo_s & np.uint64(F.P)))
+    hi_m = F._canon((hi_s >> np.uint64(61)) + (hi_s & np.uint64(F.P)))
+    return F.addmod(F.mulmod(hi_m, np.uint64(1 << 32)), lo_m)
+
+
 def encode(code: SpielmanCode, x):
     """Spielman encode: x [..., n, 2] -> [..., codeword_len, 2].
 

@@ -1,0 +1,85 @@
+"""GKR layered-circuit protocol tests."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from hobbit_tpu.gkr import layered, prover
+from hobbit_tpu.ops import field as F
+from hobbit_tpu.ops import mimc, poly
+
+P = F.P
+RNG = np.random.default_rng(47)
+
+
+def rand_field(n):
+    re = RNG.integers(0, P, size=n, dtype=np.uint64)
+    im = RNG.integers(0, P, size=n, dtype=np.uint64)
+    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+
+
+def build_test_circuit():
+    b = layered.LayeredBuilder(8)
+    xs = [b.input_wire(i) for i in range(8)]
+    # layer of pairwise products, then sums, then a final product
+    prods = [b.mul(xs[2 * i], xs[2 * i + 1]) for i in range(4)]
+    sums = [b.add(prods[0], prods[1]), b.add(prods[2], prods[3])]
+    b.mul(sums[0], sums[1])
+    return b
+
+
+def test_layered_evaluate():
+    b = build_test_circuit()
+    circ = b.build()
+    re = RNG.integers(0, P, size=8, dtype=np.uint64)
+    x = jnp.stack([jnp.asarray(re), jnp.zeros(8, jnp.uint64)], axis=-1)
+    vals = layered.evaluate(circ, b.make_inputs(x))
+    p = [(int(re[2 * i]) * int(re[2 * i + 1])) % P for i in range(4)]
+    want = ((p[0] + p[1]) % P) * ((p[2] + p[3]) % P) % P
+    out = np.asarray(vals[-1])
+    assert int(out[-1, 0]) == want
+
+
+def test_gkr_roundtrip():
+    b = build_test_circuit()
+    circ = b.build()
+    x = rand_field(8)
+    inputs = b.make_inputs(x)
+    proof, _ = prover.prove(circ, inputs, mimc.fresh_state())
+    ok, W, claim, _ = prover.verify(proof, circ, mimc.fresh_state())
+    assert bool(ok)
+    # final claim must equal the weighted input combination
+    want = F.fdot(W, inputs[: W.shape[0]])
+    np.testing.assert_array_equal(np.asarray(claim), np.asarray(want))
+
+
+def test_gkr_rejects_wrong_output():
+    b = build_test_circuit()
+    circ = b.build()
+    x = rand_field(8)
+    inputs = b.make_inputs(x)
+    proof, _ = prover.prove(circ, inputs, mimc.fresh_state())
+    bad = proof._replace(output=F.fadd(proof.output, F.scalar(1)[None, :]))
+    ok, W, claim, _ = prover.verify(bad, circ, mimc.fresh_state())
+    # either a round check fails or the final input check fails
+    final_ok = bool(ok) and np.array_equal(
+        np.asarray(claim), np.asarray(F.fdot(W, inputs[: W.shape[0]])))
+    assert not final_ok
+
+
+def test_gkr_deep_circuit():
+    b = layered.LayeredBuilder(16)
+    xs = [b.input_wire(i) for i in range(16)]
+    cur = xs
+    for _ in range(3):
+        cur = [b.mul(cur[i], cur[(i + 1) % len(cur)])
+               for i in range(len(cur))]
+    b.sum_tree(cur)
+    circ = b.build()
+    x = rand_field(16)
+    inputs = b.make_inputs(x)
+    proof, _ = prover.prove(circ, inputs, mimc.fresh_state())
+    ok, W, claim, _ = prover.verify(proof, circ, mimc.fresh_state())
+    assert bool(ok)
+    np.testing.assert_array_equal(
+        np.asarray(claim), np.asarray(F.fdot(W, inputs[: W.shape[0]])))
