@@ -1,0 +1,352 @@
+"""Streaming multiplication-tree product argument (O(B)-resident).
+
+TPU-native re-design of the reference's
+``prove_multiplication_tree_stream_shallow`` (sumcheck.cpp:1746-1915) +
+``generate_3product_sumcheck_beta_stream_batch[_optimized]``
+(sumcheck.cpp:1150-1621): prove the products of V vectors whose
+concatenation is a stream of N field elements that is never materialized.
+
+Structure (bottom = level 0 = the raw stream; level l+1 pairs-multiplies
+level l):
+
+  1. TOP    fold the stream to the 2B-sized level ``layers`` on the fly
+            (reference ``read_mul_tree_layer``, witness_stream.cpp:2415) and
+            run the in-memory multiplication tree over it
+            (``prove_multiplication_tree_new``).
+  2. LEVELS for l = layers-1 .. 0 prove the tree descent
+            V_{l+1}(r) = sum_z eq(r, z) * V_l(z,0) * V_l(z,1)
+            streamingly with the fold-phase machinery: per 2B-chunk emit
+            cross/pure coefficients (K1, K2), absorb, fold with the squeezed
+            chunk weight; an in-memory 3-product sumcheck over the folded
+            buffers; a binding pass of per-chunk partial evaluations tied
+            to the fold weights (the same two-pass pattern as the streaming
+            gate consistency).  Each level consumes TWO passes over the
+            level-l stream and O(B) device memory.
+  3. COMMIT intermediate levels (0 < l < layers) are Elastic-PC-committed
+            up front and opened at their chained claim points (reference
+            ``commit_layers``/``open_layers``, sumcheck.cpp:983-1011); the
+            level-0 claim is returned for the caller to bind against the
+            witness / circuit commitments.
+
+The per-chunk heavy math (dot products against the shared beta table, the
+fold update) is pure vectorized VPU work; only the 2-scalar MiMC absorb per
+chunk is sequential, so chunks are kept large (B = buffer space).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops import field as F
+from ..ops import mimc, poly
+from . import mul_tree
+from . import sumcheck as sc
+
+BIND_GROUPS = (("w", "PA"), ("w", "PB"))
+
+
+class LevelProof(NamedTuple):
+    per_chunk: jnp.ndarray            # [K, 2, 2]: (K1 cross, K2 pure)
+    mem_proof: sc.SumcheckProof       # 3-product (foldA, foldB, beta) -> rho
+    bind_proof: sc.MixedSumcheckProof # chunk partial evals -> sigma
+
+
+class StreamMulTreeProof(NamedTuple):
+    top_proof: mul_tree.MulTreeProof
+    level_proofs: Tuple[LevelProof, ...]   # level layers-1 down to 0
+    num_layers: int
+    chunk_size: int                        # B
+    vectors: int
+    size: int                              # per-vector length
+    layer_roots: tuple                     # elastic roots (levels layers-1..1)
+    layer_openings: tuple
+
+    @property
+    def output(self):
+        return self.top_proof.output
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+def flat_oracle(flat, piece: int = 1 << 20) -> Callable:
+    """Reference oracle over a materialized level-0 array ``flat`` [N, 2].
+
+    chunk(level, i, csize) -> [csize, 2] values of the level-`level` product
+    tree, computed by folding raw pieces so device-resident intermediates
+    stay bounded even for deep levels.
+    """
+    flat = jnp.asarray(flat)
+
+    def chunk(level: int, i: int, csize: int):
+        span = csize << level
+        raw = flat[i * span:(i + 1) * span]
+        if level == 0:
+            return raw
+        step = max(1 << level, min(piece, span))
+        outs = []
+        for s in range(0, span, step):
+            seg = raw[s:s + step].reshape(-1, 1 << level, 2)
+            outs.append(F.fprod(seg, axis=1))
+        return jnp.concatenate(outs, axis=0)
+
+    return chunk
+
+
+# ---------------------------------------------------------------------------
+# Streaming level descent
+# ---------------------------------------------------------------------------
+
+def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
+                 r, claim, state):
+    """One tree-descent level: proves claim = sum_z eq(r,z) A(z) B(z) where
+    A/B are the even/odd halves of the level stream (K chunks of 2B).
+
+    Returns (LevelProof, new_point, new_claim, state)."""
+    lb = int(np.log2(B))
+    r_lo, r_hi = r[:lb], r[lb:]
+    beta = poly.beta_table(r_lo)                      # [B, 2], shared
+
+    zeros = jnp.zeros((B, 2), dtype=jnp.uint64)
+    foldA, foldB = zeros, zeros
+    ws, per_chunk = [], []
+    C = F.scalar(0)
+    for i in range(K):
+        c = cfn(i)
+        A, Bv = c[0::2], c[1::2]
+        k1 = F.fdot(beta, F.fadd(F.fmul(foldA, Bv), F.fmul(A, foldB)))
+        k2 = F.fdot(beta, F.fmul(A, Bv))
+        terms = jnp.stack([k1, k2])
+        state = mimc.absorb(state, terms)
+        state, w = mimc.squeeze1(state)
+        w2 = F.fmul(w, w)
+        C = F.fadd(C, F.fadd(F.fmul(w, k1), F.fmul(w2, k2)))
+        foldA = F.fadd(foldA, F.fmul(w[None, :], A))
+        foldB = F.fadd(foldB, F.fmul(w[None, :], Bv))
+        ws.append(w)
+        per_chunk.append(terms)
+    w_vec = jnp.stack(ws)
+
+    # in-memory cubic sumcheck over the folds: sum_x foldA foldB beta = C
+    mem_proof, state = sc.prove_3product(foldA, foldB, beta, state)
+    rho = mem_proof.challenges                        # [log B, 2]
+
+    # pass 2: binding — per-chunk partial evals vs the w vector
+    beta_rho = poly.beta_table(rho)
+    PA, PB = [], []
+    for i in range(K):
+        c = cfn(i)
+        PA.append(F.fdot(beta_rho, c[0::2]))
+        PB.append(F.fdot(beta_rho, c[1::2]))
+    bind_arrays = {"w": w_vec, "PA": jnp.stack(PA), "PB": jnp.stack(PB)}
+    state, uw = mimc.squeeze(state, 2)
+    bind_proof, state = sc.prove_mixed(bind_arrays, BIND_GROUPS, uw, state)
+    sigma = bind_proof.challenges                     # [log K, 2]
+
+    eA = bind_proof.final_evals["PA"]
+    eB = bind_proof.final_evals["PB"]
+    state, cmix = mimc.squeeze1(state)
+    one = F.scalar(1)
+    new_claim = F.fadd(F.fmul(F.fsub(one, cmix), eA), F.fmul(cmix, eB))
+    new_point = jnp.concatenate([cmix[None, :], rho, sigma], axis=0)
+    return LevelProof(jnp.stack(per_chunk), mem_proof, bind_proof), \
+        new_point, new_claim, state
+
+
+def _verify_level(lp: LevelProof, B: int, r, claim, state):
+    """Replay one level; returns (ok, new_point, new_claim, state)."""
+    K = lp.per_chunk.shape[0]
+    lb = int(np.log2(B))
+    r_lo, r_hi = r[:lb], r[lb:]
+    beta_K = poly.beta_table(r_hi)
+    ok = jnp.array(True)
+
+    ws = []
+    C = F.scalar(0)
+    true_claim = F.scalar(0)
+    for i in range(K):
+        terms = lp.per_chunk[i]
+        state = mimc.absorb(state, terms)
+        state, w = mimc.squeeze1(state)
+        w2 = F.fmul(w, w)
+        C = F.fadd(C, F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
+        true_claim = F.fadd(true_claim, F.fmul(beta_K[i], terms[1]))
+        ws.append(w)
+    ok = jnp.logical_and(ok, F.feq(true_claim, claim))
+    w_vec = jnp.stack(ws)
+
+    okm, rho, _, state = sc.verify_product_sumcheck(lp.mem_proof, C, state, 3)
+    ok = jnp.logical_and(ok, okm)
+    fe = lp.mem_proof.final_evals
+    ok = jnp.logical_and(ok, F.feq(fe[2], _eq_eval(r_lo, rho)))
+
+    state, uw = mimc.squeeze(state, 2)
+    bind_claim = F.fadd(F.fmul(uw[0], fe[0]), F.fmul(uw[1], fe[1]))
+    okb, sigma, state = sc.verify_mixed(lp.bind_proof, bind_claim,
+                                        BIND_GROUPS, uw, state)
+    ok = jnp.logical_and(ok, okb)
+    w_eval = poly.evaluate_vector(w_vec, sigma)
+    ok = jnp.logical_and(ok, F.feq(lp.bind_proof.final_evals["w"], w_eval))
+
+    eA = lp.bind_proof.final_evals["PA"]
+    eB = lp.bind_proof.final_evals["PB"]
+    state, cmix = mimc.squeeze1(state)
+    one = F.scalar(1)
+    new_claim = F.fadd(F.fmul(F.fsub(one, cmix), eA), F.fmul(cmix, eB))
+    new_point = jnp.concatenate([cmix[None, :], rho, sigma], axis=0)
+    return ok, new_point, new_claim, state
+
+
+def _eq_eval(r1, r2):
+    one = F.scalar(1)
+    acc = one
+    for j in range(r1.shape[0]):
+        acc = F.fmul(acc, F.fadd(
+            F.fmul(F.fsub(one, r1[j]), F.fsub(one, r2[j])),
+            F.fmul(r1[j], r2[j])))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def _read_top(chunk_fn, layers: int, total: int, B: int):
+    """Level-`layers` stream (size total / 2^layers), folded on the fly."""
+    size_l = total >> layers
+    if size_l <= 2 * B:
+        return chunk_fn(layers, 0, size_l)
+    parts = [chunk_fn(layers, i, 2 * B) for i in range(size_l // (2 * B))]
+    return jnp.concatenate(parts, axis=0)
+
+
+def prove(chunk_fn: Callable, vectors: int, size: int, state,
+          B: int, commit_layers: bool = False, pc_rows: int = 4,
+          pc_queries: int = 16):
+    """Prove the per-vector products of a V x size stream.
+
+    chunk_fn(level, i, csize) -> [csize, 2] chunk i of the level-`level`
+    product-tree stream (level 0 = raw values, vector index in the HIGH
+    bits so products never cross vector boundaries).
+
+    Returns (StreamMulTreeProof, final_point, final_claim, state); the
+    caller must check final_claim == V_0(final_point) against its
+    witness-derived commitments (reference main.cpp:905-918 semantics).
+    """
+    total = vectors * size
+    assert total & (total - 1) == 0
+    if total <= 2 * B:
+        flat = chunk_fn(0, 0, total)
+        rows = [flat[i * size:(i + 1) * size] for i in range(vectors)]
+        top, state = mul_tree.prove(rows, state)
+        return StreamMulTreeProof(
+            top_proof=top, level_proofs=(), num_layers=0, chunk_size=B,
+            vectors=vectors, size=size, layer_roots=(), layer_openings=(),
+        ), top.final_point, top.final_eval, state
+
+    layers = int(np.log2(total // (2 * B)))
+
+    # --- commit intermediate levels up front (reference commit_layers) ----
+    roots = []
+    commits = []
+    if commit_layers:
+        from ..pc import elastic
+        from ..pc import standard as std
+        for l in range(layers - 1, 0, -1):
+            size_l = total >> l
+            params = std.make_params(size_l, max(2, size_l // B), pc_rows,
+                                     queries=pc_queries)
+            com = elastic.commit_stream(
+                lambda j, l=l, params=params: chunk_fn(l, j, params.B),
+                params)
+            commits.append((l, com, params))
+            roots.append(com.root)
+            state = mimc.absorb(state,
+                                com.root.astype(jnp.uint64).reshape(4, 2))
+
+    # --- top in-memory tree ------------------------------------------------
+    top_stream = _read_top(chunk_fn, layers, total, B)
+    row = top_stream.shape[0] // vectors
+    rows = [top_stream[i * row:(i + 1) * row] for i in range(vectors)]
+    top, state = mul_tree.prove(rows, state)
+    point, claim = top.final_point, top.final_eval
+
+    # --- streaming descent -------------------------------------------------
+    level_proofs = []
+    level_points = {}
+    for l in range(layers - 1, -1, -1):
+        K = total // ((1 << (l + 1)) * B)
+        lp, point, claim, state = _prove_level(
+            lambda i, l=l: chunk_fn(l, i, 2 * B), K, B, point, claim, state)
+        level_proofs.append(lp)
+        level_points[l] = (point, claim)
+
+    # --- open committed levels at their chained points ---------------------
+    openings = []
+    if commit_layers:
+        from ..pc import elastic
+        for (l, com, params) in commits:
+            pt, _ = level_points[l]
+            opening, state = elastic.open_stream(
+                lambda j, l=l, params=params: chunk_fn(l, j, params.B),
+                com, pt, state)
+            openings.append(opening)
+
+    return StreamMulTreeProof(
+        top_proof=top, level_proofs=tuple(level_proofs), num_layers=layers,
+        chunk_size=B, vectors=vectors, size=size,
+        layer_roots=tuple(roots), layer_openings=tuple(openings),
+    ), point, claim, state
+
+
+def verify(proof: StreamMulTreeProof, state, pc_rows: int = 4,
+           pc_queries: int = 16):
+    """Replay the transcript; returns (ok, final_point, final_claim, state).
+
+    final_claim is the claimed V_0 MLE evaluation at final_point — the
+    caller binds it to the witness-derived stream.  Committed intermediate
+    levels are checked against their Elastic openings."""
+    ok = jnp.array(True)
+    B = proof.chunk_size
+    total = proof.vectors * proof.size
+    layers = proof.num_layers
+
+    if layers > 0 and proof.layer_roots:
+        for root in proof.layer_roots:
+            state = mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
+
+    okt, point, state = mul_tree.verify(proof.top_proof, state)
+    ok = jnp.logical_and(ok, okt)
+    claim = proof.top_proof.final_eval
+
+    level_points = {}
+    for idx, l in enumerate(range(layers - 1, -1, -1)):
+        okl, point, claim, state = _verify_level(
+            proof.level_proofs[idx], B, point, claim, state)
+        ok = jnp.logical_and(ok, okl)
+        level_points[l] = (point, claim)
+
+    if proof.layer_roots:
+        from ..pc import elastic
+        from ..pc import standard as std
+        for oi, l in enumerate(range(layers - 1, 0, -1)):
+            size_l = total >> l
+            params = std.make_params(size_l, max(2, size_l // B), pc_rows,
+                                     queries=pc_queries)
+            pt, cl = level_points[l]
+            opening = proof.layer_openings[oi]
+            oke, state = elastic.verify(proof.layer_roots[oi], pt, opening,
+                                        params, state)
+            ok = jnp.logical_and(ok, jnp.array(bool(oke)))
+            ok = jnp.logical_and(ok, F.feq(opening.eval_claim, cl))
+
+    return ok, point, claim, state
+
+
+__all__ = ["StreamMulTreeProof", "LevelProof", "flat_oracle",
+           "prove", "verify"]

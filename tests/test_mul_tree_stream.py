@@ -1,0 +1,87 @@
+"""Streaming multiplication-tree argument tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hobbit_tpu.core import mul_tree_stream as mts
+from hobbit_tpu.ops import field as F
+from hobbit_tpu.ops import mimc, poly
+
+
+def _rand_vec(rng, n):
+    re = rng.integers(1, F.P, size=(n,), dtype=np.uint64)
+    im = rng.integers(0, F.P, size=(n,), dtype=np.uint64)
+    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+
+
+def _products(flat, vectors, size):
+    out = []
+    for i in range(vectors):
+        out.append(F.fprod(flat[i * size:(i + 1) * size]))
+    return jnp.stack(out)
+
+
+@pytest.mark.parametrize("vectors,size,B", [(4, 64, 16), (2, 256, 32)])
+def test_stream_mul_tree_roundtrip(vectors, size, B):
+    rng = np.random.default_rng(7)
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+
+    proof, point, claim, _ = mts.prove(oracle, vectors, size,
+                                       mimc.fresh_state(), B)
+    assert proof.num_layers == int(np.log2(vectors * size // (2 * B)))
+
+    # claimed outputs == direct products
+    want = _products(flat, vectors, size)
+    assert bool(jnp.all(F.feq(proof.output, want)))
+
+    ok, vpoint, vclaim, _ = mts.verify(proof, mimc.fresh_state())
+    assert bool(ok)
+    assert bool(jnp.all(vpoint == point))
+    # the final claim must equal the raw stream's MLE at the final point
+    direct = poly.evaluate_vector(flat, point)
+    assert bool(F.feq(claim, direct))
+    assert bool(F.feq(vclaim, claim))
+
+
+def test_stream_mul_tree_in_memory_path():
+    rng = np.random.default_rng(3)
+    vectors, size, B = 4, 16, 64     # total = 64 <= 2B -> in-memory
+    flat = _rand_vec(rng, vectors * size)
+    proof, point, claim, _ = mts.prove(mts.flat_oracle(flat), vectors, size,
+                                       mimc.fresh_state(), B)
+    assert proof.num_layers == 0
+    want = _products(flat, vectors, size)
+    assert bool(jnp.all(F.feq(proof.output, want)))
+    ok, _, vclaim, _ = mts.verify(proof, mimc.fresh_state())
+    assert bool(ok)
+    assert bool(F.feq(claim, poly.evaluate_vector(flat, point)))
+
+
+def test_stream_mul_tree_layer_commits():
+    rng = np.random.default_rng(11)
+    vectors, size, B = 2, 256, 16     # layers = log2(512/32) = 4
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+    proof, point, claim, _ = mts.prove(oracle, vectors, size,
+                                       mimc.fresh_state(), B,
+                                       commit_layers=True)
+    assert len(proof.layer_roots) == proof.num_layers - 1
+    ok, _, vclaim, _ = mts.verify(proof, mimc.fresh_state())
+    assert bool(ok)
+    assert bool(F.feq(vclaim, poly.evaluate_vector(flat, point)))
+
+
+def test_stream_mul_tree_tamper_rejected():
+    rng = np.random.default_rng(5)
+    vectors, size, B = 4, 64, 16
+    flat = _rand_vec(rng, vectors * size)
+    proof, _, _, _ = mts.prove(mts.flat_oracle(flat), vectors, size,
+                               mimc.fresh_state(), B)
+    bad_pc = proof.level_proofs[0].per_chunk.at[0, 1].set(
+        F.scalar(12345))
+    bad_level = proof.level_proofs[0]._replace(per_chunk=bad_pc)
+    bad = proof._replace(level_proofs=(bad_level,) + proof.level_proofs[1:])
+    ok, _, _, _ = mts.verify(bad, mimc.fresh_state())
+    assert not bool(ok)
