@@ -204,8 +204,104 @@ def verify(root, x, opening: TensorOpening, params: TensorPCParams, state):
     return True, state
 
 
+# ---------------------------------------------------------------------------
+# Recursive opening (shockwave/sumcheck recursion instead of transmitting
+# the aggregate; reference PC_utils.cpp:168-512 drivers)
+# ---------------------------------------------------------------------------
+
+class RecursiveOpening(NamedTuple):
+    eval_claim: jnp.ndarray
+    cf_root: jnp.ndarray        # shockwave outer root of the aggregate
+    rows_idx: Tuple[int, ...]
+    cols_idx: Tuple[int, ...]
+    reply: jnp.ndarray          # [q, K, 4, 2]
+    paths: jnp.ndarray
+    recursion: tuple            # RSRecursionProof | SpielmanRecursionProof
+
+
+def open_recursive(message, commitment: TensorCommitment, x,
+                   params: TensorPCParams, state, sw_queries: int = 240):
+    """Open with the tensor-code recursion (RS or Spielman by params)."""
+    from . import recursion as rec
+    from . import shockwave as sw
+
+    x_lo, x_hi = _split_point(x, params)
+    beta = poly.beta_table(x_hi)
+    chunks = message.reshape(params.K, params.B, 2)
+    aggr = F.fsum(F.fmul(beta[:, None, :], chunks), axis=0)
+    eval_claim = poly.evaluate_vector(aggr, x_lo)
+
+    cf = sw.commit(aggr, rec._sw_k(params.B))
+    state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = derive_queries(state, params)
+
+    groups = jnp.stack([_leaf_groups(commitment.tensors[i])
+                        for i in range(params.K)])
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    reply = groups[:, jnp.asarray(leaf_ids, dtype=jnp.int32)]
+    reply = jnp.moveaxis(reply, 0, 1)
+    paths = merkle.open_leaves(commitment.tree, leaf_ids)
+
+    if params.linear_time:
+        spec = _spec(params)
+        rproof, state = rec.spielman_prove(aggr, cf, x_lo, qrows, qcols,
+                                           params.rows, spec.col_code, state,
+                                           sw_queries=sw_queries)
+    else:
+        rproof, state = rec.rs_prove(aggr, cf, x_lo, qrows, qcols,
+                                     params.rows, state,
+                                     sw_queries=sw_queries)
+    return RecursiveOpening(
+        eval_claim=eval_claim, cf_root=cf.outer.root, rows_idx=qrows,
+        cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+    ), state
+
+
+def verify_recursive(root, x, opening: RecursiveOpening,
+                     params: TensorPCParams, state, sw_queries: int = 240):
+    """Succinct verification: Merkle-checked replies + recursion sub-proofs
+    (no aggregate re-encoding).  Returns (ok, state)."""
+    from . import recursion as rec
+
+    x_lo, x_hi = _split_point(x, params)
+    beta = poly.beta_table(x_hi)
+
+    state = mimc.absorb(state,
+                        opening.cf_root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = derive_queries(state, params)
+    if tuple(qrows) != tuple(opening.rows_idx) or \
+       tuple(qcols) != tuple(opening.cols_idx):
+        return False, state
+
+    comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
+    comb_vals = []
+    for qi, (r, c) in enumerate(zip(qrows, qcols)):
+        comb_vals.append(comb[qi, r % 4])
+        prev = jnp.zeros((8,), dtype=jnp.uint32)
+        for i in range(params.K):
+            prev = blake3.hash_chained_leaf(
+                opening.reply[qi, i][None], prev[None])[0]
+        leaf_id = (r // 4) * (2 * params.cols) + c
+        if not merkle.verify_leaf(root, prev, leaf_id, opening.paths[qi]):
+            return False, state
+    comb_vals = jnp.stack(comb_vals)
+
+    if params.linear_time:
+        spec = _spec(params)
+        return rec.spielman_verify(
+            opening.recursion, opening.cf_root, comb_vals,
+            opening.eval_claim, x_lo, qrows, qcols, params.rows, params.B,
+            spec.col_code, state, sw_queries=sw_queries)
+    return rec.rs_verify(
+        opening.recursion, opening.cf_root, comb_vals, opening.eval_claim,
+        x_lo, qrows, qcols, params.rows, params.B, state,
+        sw_queries=sw_queries)
+
+
 __all__ = [
     "TensorPCParams", "TensorCommitment", "TensorOpening",
-    "make_params", "commit", "open", "verify", "proof_size_kb",
+    "RecursiveOpening", "make_params", "commit", "open", "verify",
+    "open_recursive", "verify_recursive", "proof_size_kb",
     "derive_queries",
 ]
