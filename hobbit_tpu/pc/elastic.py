@@ -164,5 +164,114 @@ def verify(root, x, opening: ElasticOpening, params: std.TensorPCParams,
     return True, state
 
 
-__all__ = ["ElasticCommitment", "ElasticOpening", "commit_stream",
-           "open_stream", "verify"]
+# ---------------------------------------------------------------------------
+# Recursive streaming open (reference recursive_prover_{RS,Spielman}_stream,
+# PC_utils.cpp:168-387 + Elastic_PC.cpp:625-726): the B-sized aggregate is
+# never transmitted — it is shockwave-committed and the query consistency is
+# proven by the recursion sumchecks.
+# ---------------------------------------------------------------------------
+
+class ElasticRecursiveOpening(NamedTuple):
+    eval_claim: jnp.ndarray
+    cf_root: jnp.ndarray
+    rows_idx: Tuple[int, ...]
+    cols_idx: Tuple[int, ...]
+    reply: jnp.ndarray                 # [q, K, 4, 2]
+    paths: jnp.ndarray
+    recursion: tuple
+
+
+def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
+                          com: ElasticCommitment, x, state,
+                          sw_queries: int = 240):
+    """Streaming recursive open at x; two passes over the chunk stream."""
+    from . import recursion as rec
+    from . import shockwave as sw
+
+    params = com.params
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)
+
+    # pass A: aggregate (O(B) resident)
+    aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
+    for i in range(params.K):
+        aggr = F.fadd(aggr, F.fmul(beta[i][None, :], chunk_fn(i)))
+    eval_claim = poly.evaluate_vector(aggr, x_lo)
+
+    cf = sw.commit(aggr, rec._sw_k(params.B))
+    state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+
+    # pass B: re-encode chunks, collect query replies
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
+    replies = []
+    for i in range(params.K):
+        codeword = enc.tensor_encode(spec, chunk_fn(i))
+        groups = std._leaf_groups(codeword)
+        replies.append(groups[lid])
+    reply = jnp.stack(replies, axis=1)
+    paths = merkle.open_leaves(com.tree, leaf_ids)
+
+    if params.linear_time:
+        rproof, state = rec.spielman_prove(aggr, cf, x_lo, qrows, qcols,
+                                           params.rows, spec.col_code, state,
+                                           sw_queries=sw_queries)
+    else:
+        rproof, state = rec.rs_prove(aggr, cf, x_lo, qrows, qcols,
+                                     params.rows, state,
+                                     sw_queries=sw_queries)
+    return ElasticRecursiveOpening(
+        eval_claim=eval_claim, cf_root=cf.outer.root, rows_idx=qrows,
+        cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+    ), state
+
+
+def verify_recursive(root, x, opening: ElasticRecursiveOpening,
+                     params: std.TensorPCParams, state,
+                     sw_queries: int = 240):
+    """Succinct streaming-open verification; returns (ok, state)."""
+    from . import recursion as rec
+
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)
+
+    state = mimc.absorb(state,
+                        opening.cf_root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+    if tuple(qrows) != tuple(opening.rows_idx) or \
+       tuple(qcols) != tuple(opening.cols_idx):
+        return False, state
+
+    comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
+    comb_vals = []
+    for qi, (r, c) in enumerate(zip(qrows, qcols)):
+        comb_vals.append(comb[qi, r % 4])
+        prev = jnp.zeros((8,), dtype=jnp.uint32)
+        for i in range(params.K):
+            prev = blake3.hash_chained_leaf(
+                opening.reply[qi, i][None], prev[None])[0]
+        leaf_id = (r // 4) * (2 * params.cols) + c
+        if not merkle.verify_leaf(root, prev, leaf_id, opening.paths[qi]):
+            return False, state
+    comb_vals = jnp.stack(comb_vals)
+
+    if params.linear_time:
+        spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+        return rec.spielman_verify(
+            opening.recursion, opening.cf_root, comb_vals,
+            opening.eval_claim, x_lo, qrows, qcols, params.rows, params.B,
+            spec.col_code, state, sw_queries=sw_queries)
+    return rec.rs_verify(
+        opening.recursion, opening.cf_root, comb_vals, opening.eval_claim,
+        x_lo, qrows, qcols, params.rows, params.B, state,
+        sw_queries=sw_queries)
+
+
+__all__ = ["ElasticCommitment", "ElasticOpening", "ElasticRecursiveOpening",
+           "commit_stream", "open_stream", "open_stream_recursive",
+           "verify", "verify_recursive"]

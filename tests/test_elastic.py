@@ -69,3 +69,36 @@ def test_elastic_rejects_tampered_reply():
         np.asarray(F.fadd(opening.reply[0, 0, 0], F.scalar(1)))))
     ok, _ = elastic.verify(com.root, x, bad, params, mimc.fresh_state())
     assert not ok
+
+
+def test_elastic_recursive_open_roundtrip():
+    import numpy as np
+    import jax.numpy as jnp
+    from hobbit_tpu.ops import field as F
+    from hobbit_tpu.ops import mimc, poly
+    from hobbit_tpu.pc import elastic
+    from hobbit_tpu.pc import standard as std
+
+    rng = np.random.default_rng(31)
+    N, K, rows = 512, 4, 8
+    re = rng.integers(0, F.P, size=(N,), dtype=np.uint64)
+    im = rng.integers(0, F.P, size=(N,), dtype=np.uint64)
+    msg = jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+    params = std.make_params(N, K, rows, linear_time=True, queries=8)
+    chunk_fn = lambda i: msg[i * params.B:(i + 1) * params.B]
+    com = elastic.commit_stream(chunk_fn, params)
+    xre = rng.integers(0, F.P, size=(9,), dtype=np.uint64)
+    xim = rng.integers(0, F.P, size=(9,), dtype=np.uint64)
+    x = jnp.stack([jnp.asarray(xre), jnp.asarray(xim)], axis=-1)
+
+    op, _ = elastic.open_stream_recursive(chunk_fn, com, x,
+                                          mimc.fresh_state(), sw_queries=8)
+    assert bool(F.feq(op.eval_claim, poly.evaluate_vector(msg, x)))
+    ok, _ = elastic.verify_recursive(com.root, x, op, params,
+                                     mimc.fresh_state(), sw_queries=8)
+    assert bool(ok)
+
+    bad = op._replace(eval_claim=F.fadd(op.eval_claim, F.scalar(1)))
+    okb, _ = elastic.verify_recursive(com.root, x, bad, params,
+                                      mimc.fresh_state(), sw_queries=8)
+    assert not bool(okb)
