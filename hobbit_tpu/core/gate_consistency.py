@@ -218,4 +218,41 @@ def _eq_eval(r1, r2):
     return acc
 
 
-__all__ = ["GateConsistencyProof", "GateConsistencyResult", "prove", "verify"]
+# ---------------------------------------------------------------------------
+# Lookup-aware variant (reference prove_gate_consistency_lookups,
+# sumcheck.cpp:503-794) on the generic fold-phase engine: the identity
+#   S(saL*L) + S(saR*R) + S(sm*L*R) - S(slkp*lkpO) - S(O) == 0
+# binds lookup gates' streams (with FS weights lr0/lr1 inside saL/saR and
+# lkpO) to the same evaluation point as the add/mul gates.
+# ---------------------------------------------------------------------------
+
+LOOKUP_NAMES = ("L", "R", "O", "saL", "saR", "sm", "slkp", "lkpO")
+LOOKUP_GROUPS = (("saL", "L"), ("saR", "R"), ("sm", "L", "R"),
+                 ("slkp", "lkpO"), ("O",))
+
+
+def prove_lookups(chunk_fn: Callable[[int], dict], num_chunks: int, B: int,
+                  r, state):
+    """chunk_fn(i) -> dict of the LOOKUP_NAMES streams (size-B chunks; see
+    views.gate_arrays_lookups).  Returns (FoldStreamProof, point, evals,
+    state)."""
+    from . import fold_stream as fs
+    return fs.prove(chunk_fn, LOOKUP_NAMES, LOOKUP_GROUPS, num_chunks, B,
+                    r, state)
+
+
+def verify_lookups(proof, B: int, r, state):
+    """Returns (ok, point, stream_evals, state); checks the gate identity
+    over the per-group true sums."""
+    from . import fold_stream as fs
+    res, state = fs.verify(proof, B, r, state)
+    S = res.group_sums
+    lhs = F.fadd(F.fadd(S[0], S[1]), S[2])
+    rhs = F.fadd(S[3], S[4])
+    ok = jnp.logical_and(res.ok, F.feq(lhs, rhs))
+    return ok, res.point, res.stream_evals, state
+
+
+__all__ = ["GateConsistencyProof", "GateConsistencyResult", "prove",
+           "verify", "prove_lookups", "verify_lookups",
+           "LOOKUP_NAMES", "LOOKUP_GROUPS"]

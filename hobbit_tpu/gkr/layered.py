@@ -26,6 +26,9 @@ class GkrLayer(NamedTuple):
     types: np.ndarray    # [m] int8 (G_ADD | G_MUL)
     u: np.ndarray        # [m] int64 left operand index (in layer below)
     v: np.ndarray        # [m] int64 right operand index
+    w: object = None     # optional [m, 2] uint64 per-gate constant weight:
+                         # out = w * (V[u] op V[v])  (the reference Orion
+                         # custom_linear_comb gates, Orion_prover.cpp)
 
 
 class LayeredCircuit(NamedTuple):
@@ -51,6 +54,8 @@ def evaluate(circuit: LayeredCircuit, inputs):
         mul_v = F.fmul(vu, vv)
         cur = jnp.where((jnp.asarray(lyr.types) == G_ADD)[:, None],
                         add_v, mul_v)
+        if lyr.w is not None:
+            cur = F.fmul(cur, jnp.asarray(lyr.w))
         vals.append(cur)
     return vals
 
@@ -67,6 +72,7 @@ class LayeredBuilder:
         self.input_size = input_size + 1
         self.zero = (0, input_size)
         self.layers: List[List] = []     # per layer: [types, u, v] lists
+        self._weights: dict = {}         # layer -> {gate: weight}
 
     def _ensure_layer(self, li: int):
         while len(self.layers) < li:
@@ -101,8 +107,11 @@ class LayeredBuilder:
             self._zero_at[layer] = len(t) - 1
         return self._zero_at[layer]
 
-    def gate(self, gtype: int, a, b):
-        """a, b: wire handles; returns handle in layer max(la, lb)+1."""
+    def gate(self, gtype: int, a, b, w=None):
+        """a, b: wire handles; returns handle in layer max(la, lb)+1.
+
+        w: optional constant weight (field pair (re, im) or int): the gate
+        computes w * (a op b)."""
         target = max(a[0], b[0])
         ia = self._relay_to(a, target)
         ib = self._relay_to(b, target)
@@ -111,6 +120,7 @@ class LayeredBuilder:
         t.append(gtype)
         u.append(ia)
         v.append(ib)
+        self._weights.setdefault(target, {})[len(t) - 1] = w
         return (target + 1, len(t) - 1)
 
     def add(self, a, b):
@@ -118,6 +128,10 @@ class LayeredBuilder:
 
     def mul(self, a, b):
         return self.gate(G_MUL, a, b)
+
+    def wadd(self, a, w):
+        """Weighted relay: w * a (as w * (a + 0))."""
+        return self.gate(G_ADD, a, self.zero, w=w)
 
     def sub(self, a, b):
         """a - b == a + (p-1)*b needs a constant; model as a + neg(b) where
@@ -156,13 +170,26 @@ class LayeredBuilder:
         # drop trailing empty layers; relay all dangling outputs? GKR needs
         # the final layer only; keep as-is.
         layers = []
-        for t, u, v in self.layers:
+        for li, (t, u, v) in enumerate(self.layers):
             if not t:
                 break
+            wd = self._weights.get(li, {})
+            w = None
+            if any(x is not None for x in wd.values()):
+                w = np.zeros((len(t), 2), dtype=np.uint64)
+                w[:, 0] = 1
+                for gi, wv in wd.items():
+                    if wv is None:
+                        continue
+                    if isinstance(wv, (int, np.integer)):
+                        w[gi] = (int(wv) % F.P, 0)
+                    else:
+                        w[gi] = (int(wv[0]), int(wv[1]))
             layers.append(GkrLayer(
                 types=np.asarray(t, dtype=np.int8),
                 u=np.asarray(u, dtype=np.int64),
-                v=np.asarray(v, dtype=np.int64)))
+                v=np.asarray(v, dtype=np.int64),
+                w=w))
         return LayeredCircuit(layers=tuple(layers),
                               input_size=self.input_size)
 

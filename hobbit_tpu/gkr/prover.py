@@ -89,19 +89,30 @@ def _pad(v, n):
         [v, jnp.zeros((n - v.shape[0], 2), dtype=jnp.uint64)])
 
 
-def prove(circuit: layered.LayeredCircuit, inputs, state):
-    """Prove the evaluation; returns (GkrProof, state)."""
+def prove(circuit: layered.LayeredCircuit, inputs, state,
+          point=None, claim=None):
+    """Prove the evaluation; returns (GkrProof, state).
+
+    With ``point`` given, the proof starts from an external claim about the
+    output MLE at that point (claim = output~(point), zero-padded domain)
+    instead of transmitting the output layer — the entry used by the Orion
+    encoding proof, where the claim comes from the column-indicator
+    sumcheck (reference prove_encodings_orion, prove_encodings.cpp:227)."""
     vals = layered.evaluate(circuit, inputs)
     metas = _metas(circuit)
     d = circuit.depth
 
     output = vals[d]
-    state = mimc.absorb(state, output)
-    m_out = metas[d - 1].n_here
-    state, g = mimc.squeeze(state, int(np.log2(m_out)))
-    W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
-    claim = F.fdot(W, output)
-    state = mimc.absorb(state, claim)
+    if point is None:
+        state = mimc.absorb(state, output)
+        m_out = metas[d - 1].n_here
+        state, g = mimc.squeeze(state, int(np.log2(m_out)))
+        W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
+        claim = F.fdot(W, output)
+        state = mimc.absorb(state, claim)
+    else:
+        W = poly.beta_table(point)[: len(circuit.layers[d - 1].types)]
+        output = jnp.zeros((0, 2), dtype=jnp.uint64)
 
     layer_proofs = []
     for i in range(d - 1, -1, -1):
@@ -110,6 +121,8 @@ def prove(circuit: layered.LayeredCircuit, inputs, state):
         V = _pad(vals[i], meta.n_below)
         is_add = (jnp.asarray(lyr.types) == layered.G_ADD)
         Wg = _pad(W, len(lyr.types))[: len(lyr.types)]
+        if lyr.w is not None:
+            Wg = F.fmul(Wg, jnp.asarray(lyr.w))
 
         Vv = vals[i][...]  # not needed; V of layer below:
         V_below = vals[i]
@@ -172,20 +185,27 @@ def prove(circuit: layered.LayeredCircuit, inputs, state):
                     final_point=jnp.zeros((0, 2), jnp.uint64)), state
 
 
-def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state):
+def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state,
+           point=None, claim=None):
     """Replays the transcript.  Returns (ok, weight_vector, claim, state):
     the caller must check claim == <weight_vector, inputs~> (direct input
-    check or via a PC opening of the input polynomial)."""
+    check or via a PC opening of the input polynomial).
+
+    With ``point``/``claim`` given, starts from the external output-MLE
+    claim (matching prove(point=...))."""
     metas = _metas(circuit)
     d = circuit.depth
     ok = jnp.array(True)
 
-    state = mimc.absorb(state, proof.output)
-    m_out = metas[d - 1].n_here
-    state, g = mimc.squeeze(state, int(np.log2(m_out)))
-    W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
-    claim = F.fdot(W, proof.output)
-    state = mimc.absorb(state, claim)
+    if point is None:
+        state = mimc.absorb(state, proof.output)
+        m_out = metas[d - 1].n_here
+        state, g = mimc.squeeze(state, int(np.log2(m_out)))
+        W = poly.beta_table(g)[: len(circuit.layers[d - 1].types)]
+        claim = F.fdot(W, proof.output)
+        state = mimc.absorb(state, claim)
+    else:
+        W = poly.beta_table(point)[: len(circuit.layers[d - 1].types)]
 
     ones2 = jnp.stack([F.scalar(1), F.scalar(1)])
     for idx, i in enumerate(range(d - 1, -1, -1)):
@@ -217,6 +237,8 @@ def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state):
         beta_u = poly.beta_table(u_star)
         beta_v = poly.beta_table(v_star)
         Wg = W[: len(lyr.types)]
+        if lyr.w is not None:
+            Wg = F.fmul(Wg, jnp.asarray(lyr.w))
         is_add = (lyr.types == layered.G_ADD)
         bu = beta_u[jnp.asarray(lyr.u)]
         bv = beta_v[jnp.asarray(lyr.v)]

@@ -65,10 +65,16 @@ def fresh_state(seed: int = 0):
     return F.scalar(seed)
 
 
-def absorb(state, values):
-    """Absorb field elements; values shaped [..., 2] (flattened in order)."""
-    values = values.reshape(-1, 2)
+@jax.jit
+def _absorb_small(state, values):
+    # n <= 32: unrolled chain — one cached compile per small length
+    for i in range(values.shape[0]):
+        state = mimc_hash(state, values[i])
+    return state
 
+
+@jax.jit
+def _absorb_scan(state, values):
     def step(s, v):
         return mimc_hash(s, v), None
 
@@ -76,8 +82,37 @@ def absorb(state, values):
     return state
 
 
+def absorb(state, values):
+    """Absorb field elements; values shaped [..., 2] (flattened in order).
+
+    Small absorbs use an unrolled jitted chain (<=32 cached shapes total
+    across all call sites); large ones use the scan.  Same transcript
+    either way."""
+    values = values.reshape(-1, 2)
+    if values.shape[0] == 0:
+        return state
+    if values.shape[0] <= 32:
+        return _absorb_small(state, values)
+    return _absorb_scan(state, values)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _squeeze_small(state, n: int):
+    k = F.scalar(K_MIMC)
+    rs = []
+    for _ in range(n):
+        state = mimc_hash(state, k)
+        rs.append(state)
+    return state, jnp.stack(rs)
+
+
 def squeeze(state, n: int = 1):
     """Derive n challenges; returns (new_state, [n, 2] challenges)."""
+    if n <= 32:
+        return _squeeze_small(state, n)
     k = F.scalar(K_MIMC)
 
     def step(s, _):

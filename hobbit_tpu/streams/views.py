@@ -69,6 +69,35 @@ def gate_arrays(tr: trc.Trace) -> GateArrays:
     )
 
 
+def gate_arrays_lookups(tr: trc.Trace, lr0, lr1) -> dict:
+    """Lookup-aware gate-consistency streams (reference
+    ``prove_gate_consistency_lookups``, sumcheck.cpp:503-794).
+
+    Per gate the identity  saL*L + saR*R + sm*L*R - slkp*lkpO - O == 0
+    holds with  saL/saR = 1 on add gates, (lr0, lr1) on lookup gates;
+    sm = 1 on mul gates; slkp = 1 and lkpO = lr0*L + lr1*R - O on lookup
+    gates.  lr0/lr1 are Fiat-Shamir weights binding the lookup gates' L/R/O
+    streams into the same sumcheck point as add/mul gates."""
+    add = (tr.types == trc.T_ADD)
+    mul = (tr.types == trc.T_MUL)
+    lkp = (tr.types >= trc.T_LOOKUP0)
+    pad = (tr.types == trc.T_PAD)
+    one = F.ones(())[None, :]
+    zero = jnp.zeros((1, 2), dtype=jnp.uint64)
+    saL = jnp.where(add[:, None], one,
+                    jnp.where(lkp[:, None], lr0[None, :], zero))
+    saR = jnp.where(add[:, None], one,
+                    jnp.where(lkp[:, None], lr1[None, :], zero))
+    sm = jnp.where(mul[:, None], one, zero)
+    slkp = jnp.where(lkp[:, None], one, zero)
+    lkpO = F.fsub(F.fadd(F.fmul(lr0[None, :], tr.val_l),
+                         F.fmul(lr1[None, :], tr.val_r)), tr.val_o)
+    lkpO = jnp.where(lkp[:, None], lkpO, zero)
+    O = jnp.where(pad[:, None], zero, tr.val_o)
+    return {"L": tr.val_l, "R": tr.val_r, "O": O, "saL": saL, "saR": saR,
+            "sm": sm, "slkp": slkp, "lkpO": lkpO}
+
+
 def gate_consistency_terms(ga: GateArrays):
     """Per-gate relation value: sel_add*(L+R-O) + sel_mul*(L*R-O).
 

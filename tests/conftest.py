@@ -18,3 +18,13 @@ import jax
 # runs; explicitly pin the platform back to CPU for unit tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: shape-stable kernels (jitted field
+# primitives, the MiMC compression) compile once across ALL test processes.
+import pathlib
+
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
