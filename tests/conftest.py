@@ -6,6 +6,7 @@ path via __graft_entry__.dryrun_multichip).
 """
 
 import os
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
