@@ -41,18 +41,32 @@ from ..streams import trace as trc
 from ..streams import views
 from . import gate_consistency as gc
 from . import mul_tree
+from . import mul_tree_stream as mts
 
 
 class CircuitProof(NamedTuple):
     witness_root: jnp.ndarray
-    wiring_proof: mul_tree.MulTreeProof
-    lookup_proof: Optional[mul_tree.MulTreeProof]
-    gc_proof: gc.GateConsistencyProof
+    wiring_proof: object             # MulTreeProof | StreamMulTreeProof
+    lookup_proof: Optional[object]
+    gc_proof: object                 # GateConsistencyProof | FoldStreamProof
     openings: tuple                  # 3 x pc.TensorOpening (L, R, O lanes)
     num_gates: int
     num_chunks: int
     chunk_size: int
+    lookup_mode: bool                # lookup-aware gate consistency used
     timings: dict
+
+
+def _set_matrix(sets):
+    """Pad product-argument sets to a common pow2 size (with ones) and
+    flatten [V, size] -> [V*size] (vector index in the HIGH bits)."""
+    size = 1 << int(np.ceil(np.log2(max(s.shape[0] for s in sets))))
+    rows = []
+    for s in sets:
+        if s.shape[0] < size:
+            s = jnp.concatenate([s, F.ones((size - s.shape[0],))], axis=0)
+        rows.append(s)
+    return jnp.concatenate(rows, axis=0), len(sets), size
 
 
 def _pow2_above(n: int) -> int:
@@ -104,14 +118,22 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     timings["commit"] = time.time() - t0
 
     # ---- 2. wiring consistency (memory checking + mul tree) -------------
+    # sets larger than 2B run the STREAMING mul-tree (O(B)-resident fold-
+    # phase descent, reference prove_multiplication_tree_stream_shallow).
     t0 = time.time()
     state, ab = mimc.squeeze(state, 2)
     a, b = ab[0], ab[1]
     reads, writes = views.wiring_read_write_sets(tr, a, b)
     init, fin = views.wiring_init_final_sets(tr, program.num_inputs, a, b)
-    wiring_proof, state = mul_tree.prove(
-        [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
-         poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)], state)
+    wflat, wV, wsize = _set_matrix([reads, writes, init, fin])
+    B0 = config.buffer_space
+    if wV * wsize > 2 * B0:
+        wiring_proof, _, _, state = mts.prove(
+            mts.flat_oracle(wflat), wV, wsize, state, B0)
+    else:
+        wiring_proof, state = mul_tree.prove(
+            [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
+             poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)], state)
     timings["wiring"] = time.time() - t0
 
     # ---- 3. lookups ------------------------------------------------------
@@ -122,21 +144,40 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         table_size = _pow2_above(table_size)
         lr, lw, li, lf = views.lookup_sets(tr, program.tables, a, b,
                                            table_size=table_size)
-        lookup_proof, state = mul_tree.prove(
-            [poly.pad_pow2(lr, 1), poly.pad_pow2(lw, 1),
-             poly.pad_pow2(li, 1), poly.pad_pow2(lf, 1)], state)
+        lflat, lV, lsize = _set_matrix([lr, lw, li, lf])
+        if lV * lsize > 2 * B0:
+            lookup_proof, _, _, state = mts.prove(
+                mts.flat_oracle(lflat), lV, lsize, state, B0)
+        else:
+            lookup_proof, state = mul_tree.prove(
+                [poly.pad_pow2(lr, 1), poly.pad_pow2(lw, 1),
+                 poly.pad_pow2(li, 1), poly.pad_pow2(lf, 1)], state)
         timings["lookups"] = time.time() - t0
 
     # ---- 4. streaming gate consistency ----------------------------------
     # chunk geometry matches the witness padding: K * B == N4 / 4, so the
-    # stream MLEs and the witness-lane MLEs share one domain.
+    # stream MLEs and the witness-lane MLEs share one domain.  Circuits
+    # with lookup tables run the lookup-aware identity
+    # (prove_gate_consistency_lookups, sumcheck.cpp:503).
     t0 = time.time()
     np2 = N4 // 4
     B = min(config.buffer_space, np2 // 2)
     K = np2 // B
-    chunks = _padded_gate_chunks(oracle, B, K)
-    state, r = mimc.squeeze(state, int(np.log2(K * B)))
-    gc_proof, state = gc.prove(lambda i: chunks[i], K, B, r, state)
+    lookup_mode = bool(program.tables)
+    if lookup_mode:
+        state, lkw = mimc.squeeze(state, 2)
+        streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
+        padded = {nm: jnp.concatenate(
+            [v, jnp.zeros((np2 - v.shape[0], 2), jnp.uint64)])
+            for nm, v in streams.items()}
+        state, r = mimc.squeeze(state, int(np.log2(K * B)))
+        gc_proof, _, _, state = gc.prove_lookups(
+            lambda i: {nm: padded[nm][i * B:(i + 1) * B] for nm in padded},
+            K, B, r, state)
+    else:
+        chunks = _padded_gate_chunks(oracle, B, K)
+        state, r = mimc.squeeze(state, int(np.log2(K * B)))
+        gc_proof, state = gc.prove(lambda i: chunks[i], K, B, r, state)
     timings["gate_consistency"] = time.time() - t0
 
     # ---- 5. witness openings at the gate-consistency point --------------
@@ -162,6 +203,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         num_gates=tr.num_gates,
         num_chunks=K,
         chunk_size=B,
+        lookup_mode=lookup_mode,
         timings=timings,
     )
     return proof, state
@@ -177,17 +219,27 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
     state = mimc.absorb(state,
                         proof.witness_root.astype(jnp.uint64).reshape(4, 2))
 
-    # wiring mul-tree + permutation identity
+    # wiring mul-tree + permutation identity; streaming proofs additionally
+    # return the level-0 (point, claim) which we bind transparently below
     state, ab = mimc.squeeze(state, 2)
-    okw, w_point, state = mul_tree.verify(proof.wiring_proof, state)
+    streaming_w = isinstance(proof.wiring_proof, mts.StreamMulTreeProof)
+    if streaming_w:
+        okw, w_point, w_claim, state = mts.verify(proof.wiring_proof, state)
+    else:
+        okw, w_point, state = mul_tree.verify(proof.wiring_proof, state)
     ok = ok and bool(okw)
     out = proof.wiring_proof.output
     lhs = F.fmul(out[0], out[3])
     rhs = F.fmul(out[1], out[2])
     ok = ok and bool(F.feq(lhs, rhs))
 
+    l_point = l_claim = None
     if proof.lookup_proof is not None:
-        okl, _, state = mul_tree.verify(proof.lookup_proof, state)
+        if isinstance(proof.lookup_proof, mts.StreamMulTreeProof):
+            okl, l_point, l_claim, state = mts.verify(proof.lookup_proof,
+                                                      state)
+        else:
+            okl, _, state = mul_tree.verify(proof.lookup_proof, state)
         ok = ok and bool(okl)
         out = proof.lookup_proof.output
         ok = ok and bool(F.feq(F.fmul(out[0], out[3]), F.fmul(out[1], out[2])))
@@ -195,9 +247,22 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
     # gate consistency
     B = proof.chunk_size
     K = proof.num_chunks
-    state, r = mimc.squeeze(state, int(np.log2(K * B)))
-    res, state = gc.verify(proof.gc_proof, B, r, state)
-    ok = ok and bool(res.ok)
+    if proof.lookup_mode:
+        state, lkw = mimc.squeeze(state, 2)
+        state, r = mimc.squeeze(state, int(np.log2(K * B)))
+        okg, gc_point, gc_evals, state = gc.verify_lookups(proof.gc_proof,
+                                                           B, r, state)
+        ok = ok and bool(okg)
+
+        class _Res(NamedTuple):
+            ok: bool
+            point: jnp.ndarray
+            stream_evals: dict
+        res = _Res(ok=bool(okg), point=gc_point, stream_evals=gc_evals)
+    else:
+        state, r = mimc.squeeze(state, int(np.log2(K * B)))
+        res, state = gc.verify(proof.gc_proof, B, r, state)
+        ok = ok and bool(res.ok)
 
     # witness openings: bind the L/R/O stream evals to the commitment
     tr = trc.execute(program, inputs)     # transparent recomputation part
@@ -224,25 +289,49 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
             ok = ok and bool(F.feq(got, want))
 
     # transparent checks: selectors + wiring/lookup set evaluations
-    ga = views.gate_arrays(tr)
     n_total = K * B
-    for name, arr in (("sa", ga.sel_add), ("sm", ga.sel_mul)):
+
+    def _padded_eval(arr, point):
         full = jnp.concatenate(
             [arr, jnp.zeros((n_total - arr.shape[0], 2), jnp.uint64)])
-        want = poly.evaluate_vector(full, res.point)
-        ok = ok and bool(F.feq(res.stream_evals[name], want))
+        return poly.evaluate_vector(full, point)
+
+    if proof.lookup_mode:
+        streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
+        for name in ("saL", "saR", "sm", "slkp", "lkpO"):
+            want = _padded_eval(streams[name], res.point)
+            ok = ok and bool(F.feq(res.stream_evals[name], want))
+    else:
+        ga = views.gate_arrays(tr)
+        for name, arr in (("sa", ga.sel_add), ("sm", ga.sel_mul)):
+            want = _padded_eval(arr, res.point)
+            ok = ok and bool(F.feq(res.stream_evals[name], want))
 
     a, b = ab[0], ab[1]
     reads, writes = views.wiring_read_write_sets(tr, a, b)
     init, fin = views.wiring_init_final_sets(tr, program.num_inputs, a, b)
-    sets = [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
-            poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)]
-    depth = int(np.log2(max(s.shape[0] for s in sets)))
-    ind_r = w_point[:depth]
-    for j, s in enumerate(sets):
-        if s.shape[0] == 1 << depth:
-            want = poly.evaluate_vector(s, ind_r)
-            ok = ok and bool(F.feq(proof.wiring_proof.partial_evals[j], want))
+    if streaming_w:
+        wflat, _, _ = _set_matrix([reads, writes, init, fin])
+        ok = ok and bool(F.feq(w_claim,
+                               poly.evaluate_vector(wflat, w_point)))
+    else:
+        sets = [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
+                poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)]
+        depth = int(np.log2(max(s.shape[0] for s in sets)))
+        ind_r = w_point[:depth]
+        for j, s in enumerate(sets):
+            if s.shape[0] == 1 << depth:
+                want = poly.evaluate_vector(s, ind_r)
+                ok = ok and bool(F.feq(proof.wiring_proof.partial_evals[j],
+                                       want))
+
+    if l_point is not None and program.tables:
+        table_size = _pow2_above(max(len(t) for t in program.tables))
+        lr, lw, li_, lf = views.lookup_sets(tr, program.tables, a, b,
+                                            table_size=table_size)
+        lflat, _, _ = _set_matrix([lr, lw, li_, lf])
+        ok = ok and bool(F.feq(l_claim,
+                               poly.evaluate_vector(lflat, l_point)))
 
     return ok, state
 

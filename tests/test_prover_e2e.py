@@ -37,3 +37,16 @@ def test_e2e_rejects_wrong_inputs():
     x_bad = F.fadd(x, F.scalar(1)[None, :])
     ok, _ = prover.verify(proof, prog, x_bad, CFG, pc_K=2, pc_rows=4)
     assert not ok
+
+
+def test_e2e_aes_lookup_mode():
+    """AES-128 block: all-lookup circuit through the full pipeline
+    (streaming wiring mul-tree + lookup-aware gate consistency)."""
+    from hobbit_tpu.models import aes
+    prog, _ = aes.build(blocks_log2=0, key=list(range(16)))
+    ab = aes.AesBuilder(1, aes.key_schedule(list(range(16))))
+    x = ab.inputs(np.array([list(range(16))], dtype=np.uint64))
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    assert proof.lookup_mode
+    ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
+    assert ok
