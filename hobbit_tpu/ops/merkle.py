@@ -25,8 +25,27 @@ import jax.numpy as jnp
 from . import blake3
 
 
+def _sha_pairs(a, b):
+    from . import sha256
+    return sha256.hash64(jnp.concatenate([a, b], axis=-1))
+
+
+def _sha_field_leaves(f):
+    from . import sha256
+    return sha256.hash64(blake3.fields_to_words(f))
+
+
+_BACKENDS = {
+    "blake3": (blake3.hash_field_leaves, blake3.hash_pairs),
+    # the reference's __hhash_digest SHA path (my_hhash.h:30-38): used by
+    # the Pigeon/Breakdown PC family (poly_commit.cpp)
+    "sha256": (_sha_field_leaves, _sha_pairs),
+}
+
+
 class MerkleTree(NamedTuple):
     levels: tuple       # levels[0] = [n, 8] leaf digests, ..., [-1] = [1, 8]
+    backend: str = "blake3"
 
     @property
     def root(self):
@@ -37,29 +56,31 @@ class MerkleTree(NamedTuple):
         return self.levels[0].shape[0]
 
 
-def build_from_digests(leaves) -> MerkleTree:
+def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
     """Build a tree over [n, 8] uint32 leaf digests (n a power of two)."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
+    _, pairs = _BACKENDS[backend]
     levels = [leaves]
     cur = leaves
     while cur.shape[0] > 1:
-        cur = blake3.hash_pairs(cur[0::2], cur[1::2])
+        cur = pairs(cur[0::2], cur[1::2])
         levels.append(cur)
-    return MerkleTree(levels=tuple(levels))
+    return MerkleTree(levels=tuple(levels), backend=backend)
 
 
-def commit_fields(values) -> MerkleTree:
+def commit_fields(values, backend: str = "blake3") -> MerkleTree:
     """Commit to [n, 2] field elements, 4 per leaf (n divisible by 4)."""
     n = values.shape[0]
     assert n % 4 == 0
-    leaves = blake3.hash_field_leaves(values.reshape(n // 4, 4, 2))
+    leaf_fn, _ = _BACKENDS[backend]
+    leaves = leaf_fn(values.reshape(n // 4, 4, 2))
     m = leaves.shape[0]
     if m & (m - 1):
         pad = (1 << int(np.ceil(np.log2(m)))) - m
         leaves = jnp.concatenate(
             [leaves, jnp.zeros((pad, 8), dtype=leaves.dtype)], axis=0)
-    return build_from_digests(leaves)
+    return build_from_digests(leaves, backend)
 
 
 def commit_fields_chained(chunks) -> MerkleTree:
@@ -97,14 +118,16 @@ def open_leaves(tree: MerkleTree, indices):
     return jnp.stack([open_leaf(tree, int(i)) for i in indices])
 
 
-def verify_leaf(root, leaf_digest, index: int, path) -> bool:
+def verify_leaf(root, leaf_digest, index: int, path,
+                backend: str = "blake3") -> bool:
+    _, pairs = _BACKENDS[backend]
     cur = leaf_digest
     pos = int(index)
     for d in range(path.shape[0]):
         sib = path[d]
         left = jnp.where(pos & 1, sib, cur)
         right = jnp.where(pos & 1, cur, sib)
-        cur = blake3.hash_pairs(left[None, :], right[None, :])[0]
+        cur = pairs(left[None, :], right[None, :])[0]
         pos //= 2
     return bool(jnp.all(cur == root))
 

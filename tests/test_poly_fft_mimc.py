@@ -180,3 +180,34 @@ def test_lagrange_coeffs_interpolate():
     got = np.asarray(F.fdot(L, evals))
     want = np.asarray(f(r))
     np.testing.assert_array_equal(got, want)
+
+
+def test_fft_matrix_sumcheck():
+    import numpy as np
+    import jax.numpy as jnp
+    from hobbit_tpu.core import fft_sumcheck as fsc
+    from hobbit_tpu.ops import fft as fftm
+    from hobbit_tpu.ops import field as F, mimc, poly
+
+    rng = np.random.default_rng(4)
+    m, c = 4, 8
+    re = rng.integers(0, F.P, size=(m, c), dtype=np.uint64)
+    im = rng.integers(0, F.P, size=(m, c), dtype=np.uint64)
+    M = jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+    rre = rng.integers(0, F.P, size=(4 + 2,), dtype=np.uint64)
+    rim = rng.integers(0, F.P, size=(4 + 2,), dtype=np.uint64)
+    r = jnp.stack([jnp.asarray(rre), jnp.asarray(rim)], axis=-1)
+
+    # true claim: MLE of the row-FFT'd matrix at (r_col, r_row)
+    pad = jnp.concatenate([M, jnp.zeros((m, c, 2), jnp.uint64)], axis=1)
+    rows_fft = jnp.stack([fftm.fft(pad[i]) for i in range(m)])
+    want = poly.evaluate_vector(rows_fft.reshape(-1, 2), r)
+
+    proof, claim, _ = fsc.prove_fft_matrix(M, r, mimc.fresh_state())
+    assert bool(F.feq(claim, want))
+    ok, full_pt, mat_eval, _ = fsc.verify_fft_matrix(proof, r, claim,
+                                                     mimc.fresh_state(), m)
+    assert bool(ok)
+    # matrix_eval binds M~ at (full_pt)
+    Mflat = M.reshape(-1, 2)
+    assert bool(F.feq(mat_eval, poly.evaluate_vector(Mflat, full_pt)))
