@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 u32 = jnp.uint32

@@ -105,17 +105,22 @@ def commit_fields_chained(chunks) -> MerkleTree:
 
 def open_leaf(tree: MerkleTree, index: int):
     """Authentication path for one leaf: [depth, 8] sibling digests."""
-    path = []
-    pos = int(index)
-    for level in tree.levels[:-1]:
-        path.append(level[pos ^ 1])
-        pos //= 2
-    return jnp.stack(path) if path else jnp.zeros((0, 8), dtype=jnp.uint32)
+    return open_leaves(tree, [int(index)])[0]
 
 
 def open_leaves(tree: MerkleTree, indices):
-    """Batch open: [q, depth, 8]."""
-    return jnp.stack([open_leaf(tree, int(i)) for i in indices])
+    """Batch open: [q, depth, 8].  One host gather per level (device
+    round-trips per leaf per level are the naive version's cost)."""
+    idx = np.asarray([int(i) for i in indices], dtype=np.int64)
+    if not tree.levels[:-1]:
+        return jnp.zeros((len(idx), 0, 8), dtype=jnp.uint32)
+    rows = []
+    pos = idx
+    for level in tree.levels[:-1]:
+        lv = np.asarray(level)
+        rows.append(lv[pos ^ 1])
+        pos = pos // 2
+    return jnp.asarray(np.stack(rows, axis=1))
 
 
 def verify_leaf(root, leaf_digest, index: int, path,

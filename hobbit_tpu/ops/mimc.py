@@ -111,6 +111,8 @@ def _squeeze_small(state, n: int):
 
 def squeeze(state, n: int = 1):
     """Derive n challenges; returns (new_state, [n, 2] challenges)."""
+    if n == 0:
+        return state, jnp.zeros((0, 2), dtype=jnp.uint64)
     if n <= 32:
         return _squeeze_small(state, n)
     k = F.scalar(K_MIMC)

@@ -50,3 +50,21 @@ def test_e2e_aes_lookup_mode():
     assert proof.lookup_mode
     ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
     assert ok
+
+
+def test_e2e_mlp_dense():
+    """fun 9: dense MLP inference through the full pipeline."""
+    prog = C.fun9_mlp(4, [4])
+    x = C.random_inputs(prog, seed=11)
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
+    assert ok
+
+
+def test_e2e_mlp_pruned():
+    """fun 8: pruned (sparse) MLP inference."""
+    prog = C.fun8_pruned_mlp(4, [4], density=0.5)
+    x = C.random_inputs(prog, seed=13)
+    proof, _ = prover.prove(prog, x, CFG, pc_K=2, pc_rows=4)
+    ok, _ = prover.verify(proof, prog, x, CFG, pc_K=2, pc_rows=4)
+    assert ok
