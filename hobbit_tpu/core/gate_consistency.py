@@ -78,6 +78,49 @@ def _chunk_terms(beta, folds, cur):
                       s3_cross, s3_pure])
 
 
+from ..utils.jitting import maybe_jit
+
+
+@maybe_jit
+def _chunk_step(beta, folds, cur, C, state):
+    """One fold-phase chunk: terms, FS absorb/squeeze, claim + fold update.
+    One compiled kernel per shape — a single dispatch per streamed chunk."""
+    terms = _chunk_terms(beta, folds, cur)
+    state = mimc.absorb(state, terms)
+    state, w = mimc.squeeze1(state)
+    w2 = F.fmul(w, w)
+    w3 = F.fmul(w2, w)
+    C0 = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
+    C1 = F.fadd(C[1], F.fadd(F.fmul(w, terms[2]),
+                             F.fadd(F.fmul(w2, terms[3]),
+                                    F.fmul(w3, terms[4]))))
+    C2 = F.fadd(C[2], F.fadd(F.fmul(w, terms[5]), F.fmul(w2, terms[6])))
+    folds = {a: F.fadd(folds[a], F.fmul(w[None, :], cur[a])) for a in folds}
+    return terms, w, folds, jnp.stack([C0, C1, C2]), state
+
+
+@maybe_jit
+def _bind_step(beta_rho, cur):
+    return jnp.stack([F.fdot(beta_rho, cur[a]) for a in BIND_NAMES])
+
+
+@maybe_jit
+def _vchunk_step(terms, bk, C, true_claim, state):
+    """Verifier-side per-chunk replay: one compiled kernel per shape."""
+    state = mimc.absorb(state, terms)
+    state, w = mimc.squeeze1(state)
+    w2 = F.fmul(w, w)
+    w3 = F.fmul(w2, w)
+    C0 = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
+    C1 = F.fadd(C[1], F.fadd(F.fmul(w, terms[2]),
+                             F.fadd(F.fmul(w2, terms[3]),
+                                    F.fmul(w3, terms[4]))))
+    C2 = F.fadd(C[2], F.fadd(F.fmul(w, terms[5]), F.fmul(w2, terms[6])))
+    s_i = F.fsub(F.fadd(terms[1], terms[4]), terms[6])
+    true_claim = F.fadd(true_claim, F.fmul(bk, s_i))
+    return w, jnp.stack([C0, C1, C2]), true_claim, state
+
+
 def prove(chunk_fn: Callable[[int], GateArrays], num_chunks: int, B: int,
           r, state):
     """chunk_fn(i) -> GateArrays of size B (re-callable: pass 2 re-streams).
@@ -96,23 +139,11 @@ def prove(chunk_fn: Callable[[int], GateArrays], num_chunks: int, B: int,
     folds = {a: zeros for a in ("L", "R", "O", "sa", "sm", "M")}
     ws = []
     per_chunk = []
-    # claim accumulators per term group
-    C = [F.scalar(0), F.scalar(0), F.scalar(0)]
+    C = jnp.zeros((3, 2), dtype=jnp.uint64)
 
     for i in range(K):
         cur = _derived(chunk_fn(i))
-        terms = _chunk_terms(beta, folds, cur)
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
-        w2 = F.fmul(w, w)
-        w3 = F.fmul(w2, w)
-        C[0] = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
-        C[1] = F.fadd(C[1], F.fadd(F.fmul(w, terms[2]),
-                                   F.fadd(F.fmul(w2, terms[3]),
-                                          F.fmul(w3, terms[4]))))
-        C[2] = F.fadd(C[2], F.fadd(F.fmul(w, terms[5]), F.fmul(w2, terms[6])))
-        for a in folds:
-            folds[a] = F.fadd(folds[a], F.fmul(w[None, :], cur[a]))
+        terms, w, folds, C, state = _chunk_step(beta, folds, cur, C, state)
         ws.append(w)
         per_chunk.append(terms)
 
@@ -126,14 +157,11 @@ def prove(chunk_fn: Callable[[int], GateArrays], num_chunks: int, B: int,
 
     # ----- pass 2: binding -----------------------------------------------
     beta_rho = poly.beta_table(rho)
-    Ps = {a: [] for a in BIND_NAMES}
-    for i in range(K):
-        cur = _derived(chunk_fn(i))
-        for a in BIND_NAMES:
-            Ps[a].append(F.fdot(beta_rho, cur[a]))
+    Pmat = jnp.stack([_bind_step(beta_rho, _derived(chunk_fn(i)))
+                      for i in range(K)])  # [K, 5, 2]
     bind_arrays = {"w": w_vec}
-    for a in BIND_NAMES:
-        bind_arrays[f"P{a}"] = jnp.stack(Ps[a])
+    for ai, a in enumerate(BIND_NAMES):
+        bind_arrays[f"P{a}"] = Pmat[:, ai]
     state, uw = mimc.squeeze(state, len(BIND_NAMES))
     bind_proof, state = sc.prove_mixed(bind_arrays, GROUPS_BIND, uw, state)
     sigma = bind_proof.challenges          # [log K, 2]
@@ -161,24 +189,16 @@ def verify(proof: GateConsistencyProof, B: int, r, state):
     ok = jnp.array(True)
 
     ws = []
-    C = [F.scalar(0), F.scalar(0), F.scalar(0)]
+    C = jnp.zeros((3, 2), dtype=jnp.uint64)
     true_claim = F.scalar(0)
     for i in range(K):
-        terms = proof.per_chunk[i]
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
-        w2 = F.fmul(w, w)
-        w3 = F.fmul(w2, w)
-        C[0] = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
-        C[1] = F.fadd(C[1], F.fadd(F.fmul(w, terms[2]),
-                                   F.fadd(F.fmul(w2, terms[3]),
-                                          F.fmul(w3, terms[4]))))
-        C[2] = F.fadd(C[2], F.fadd(F.fmul(w, terms[5]), F.fmul(w2, terms[6])))
+        w, C, true_claim, state = _vchunk_step(proof.per_chunk[i],
+                                               beta_K[i], C, true_claim,
+                                               state)
         ws.append(w)
-        s_i = F.fsub(F.fadd(terms[1], terms[4]), terms[6])
-        true_claim = F.fadd(true_claim, F.fmul(beta_K[i], s_i))
     ok = jnp.logical_and(ok, F.feq(true_claim, F.scalar(0)))
     w_vec = jnp.stack(ws)
+    C = [C[0], C[1], C[2]]
 
     state, gw = mimc.squeeze(state, 3)
     claim = F.fadd(F.fadd(F.fmul(gw[0], C[0]), F.fmul(gw[1], C[1])),

@@ -43,10 +43,32 @@ import jax.numpy as jnp
 
 from ..ops import field as F
 from ..ops import mimc, poly
+from ..utils.jitting import maybe_jit
 from . import mul_tree
 from . import sumcheck as sc
 
 BIND_GROUPS = (("w", "PA"), ("w", "PB"))
+
+
+@maybe_jit
+def _level_chunk_step(beta, foldA, foldB, C, c, state):
+    """One level fold-phase chunk (terms, absorb, squeeze, fold): one
+    compiled kernel per shape."""
+    A, Bv = c[0::2], c[1::2]
+    k1 = F.fdot(beta, F.fadd(F.fmul(foldA, Bv), F.fmul(A, foldB)))
+    k2 = F.fdot(beta, F.fmul(A, Bv))
+    terms = jnp.stack([k1, k2])
+    state = mimc.absorb(state, terms)
+    state, w = mimc.squeeze1(state)
+    C = F.fadd(C, F.fadd(F.fmul(w, k1), F.fmul(F.fmul(w, w), k2)))
+    foldA = F.fadd(foldA, F.fmul(w[None, :], A))
+    foldB = F.fadd(foldB, F.fmul(w[None, :], Bv))
+    return terms, w, foldA, foldB, C, state
+
+
+@maybe_jit
+def _level_bind_step(beta_rho, c):
+    return F.fdot(beta_rho, c[0::2]), F.fdot(beta_rho, c[1::2])
 
 
 class LevelProof(NamedTuple):
@@ -117,17 +139,8 @@ def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
     ws, per_chunk = [], []
     C = F.scalar(0)
     for i in range(K):
-        c = cfn(i)
-        A, Bv = c[0::2], c[1::2]
-        k1 = F.fdot(beta, F.fadd(F.fmul(foldA, Bv), F.fmul(A, foldB)))
-        k2 = F.fdot(beta, F.fmul(A, Bv))
-        terms = jnp.stack([k1, k2])
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
-        w2 = F.fmul(w, w)
-        C = F.fadd(C, F.fadd(F.fmul(w, k1), F.fmul(w2, k2)))
-        foldA = F.fadd(foldA, F.fmul(w[None, :], A))
-        foldB = F.fadd(foldB, F.fmul(w[None, :], Bv))
+        terms, w, foldA, foldB, C, state = _level_chunk_step(
+            beta, foldA, foldB, C, cfn(i), state)
         ws.append(w)
         per_chunk.append(terms)
     w_vec = jnp.stack(ws)
@@ -140,9 +153,9 @@ def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
     beta_rho = poly.beta_table(rho)
     PA, PB = [], []
     for i in range(K):
-        c = cfn(i)
-        PA.append(F.fdot(beta_rho, c[0::2]))
-        PB.append(F.fdot(beta_rho, c[1::2]))
+        pa, pb = _level_bind_step(beta_rho, cfn(i))
+        PA.append(pa)
+        PB.append(pb)
     bind_arrays = {"w": w_vec, "PA": jnp.stack(PA), "PB": jnp.stack(PB)}
     state, uw = mimc.squeeze(state, 2)
     bind_proof, state = sc.prove_mixed(bind_arrays, BIND_GROUPS, uw, state)

@@ -56,16 +56,33 @@ class MerkleTree(NamedTuple):
         return self.levels[0].shape[0]
 
 
+import functools
+
+from ..utils.jitting import maybe_jit
+
+
+@functools.lru_cache(maxsize=None)
+def _level_builder(backend: str):
+    _, pairs = _BACKENDS[backend]
+
+    @maybe_jit
+    def build(leaves):
+        levels = [leaves]
+        cur = leaves
+        while cur.shape[0] > 1:
+            cur = pairs(cur[0::2], cur[1::2])
+            levels.append(cur)
+        return tuple(levels)
+
+    return build
+
+
 def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
-    """Build a tree over [n, 8] uint32 leaf digests (n a power of two)."""
+    """Build a tree over [n, 8] uint32 leaf digests (n a power of two);
+    the whole level loop is one compiled kernel per (backend, n)."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
-    _, pairs = _BACKENDS[backend]
-    levels = [leaves]
-    cur = leaves
-    while cur.shape[0] > 1:
-        cur = pairs(cur[0::2], cur[1::2])
-        levels.append(cur)
+    levels = _level_builder(backend)(leaves)
     return MerkleTree(levels=tuple(levels), backend=backend)
 
 

@@ -67,21 +67,28 @@ def commit_stream(chunk_fn: Callable[[int], jnp.ndarray],
     """chunk_fn(i) -> [B, 2] chunk i of the coefficient stream.
 
     zero_from: chunks >= this index are all-zero (padding) — they take the
-    fast path.  Only O(B) state is resident at any time.
+    fast path.  Only O(B) state is resident at any time; the per-chunk
+    encode + chained-leaf update is one compiled kernel.
     """
+    from ..utils.jitting import maybe_jit
+
     spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
     num_leaves = (2 * params.rows // 4) * (2 * params.cols)
     prev = jnp.zeros((num_leaves, 8), dtype=jnp.uint32)
+
+    @maybe_jit
+    def _step(chunk, prev):
+        codeword = enc.tensor_encode(spec, chunk)
+        return blake3.hash_chained_leaf(std._leaf_groups(codeword), prev)
+
     zero_update = None
     for i in range(params.K):
         if zero_from is not None and i >= zero_from:
             if zero_update is None:
                 zero_update = _zero_leaf_update(params)
-            groups = zero_update
-        else:
-            codeword = enc.tensor_encode(spec, chunk_fn(i))
-            groups = std._leaf_groups(codeword)
-        prev = blake3.hash_chained_leaf(groups, prev)
+            prev = blake3.hash_chained_leaf(zero_update, prev)
+            continue
+        prev = _step(chunk_fn(i), prev)
     if num_leaves & (num_leaves - 1):
         pad = (1 << int(np.ceil(np.log2(num_leaves)))) - num_leaves
         prev = jnp.concatenate(
@@ -101,9 +108,15 @@ def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
     beta = poly.beta_table(x_hi)
 
     # ---- pass A: aggregate ------------------------------------------------
+    from ..utils.jitting import maybe_jit
+
+    @maybe_jit
+    def _aggr_step(aggr, b, chunk):
+        return F.fadd(aggr, F.fmul(b[None, :], chunk))
+
     aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
     for i in range(params.K):
-        aggr = F.fadd(aggr, F.fmul(beta[i][None, :], chunk_fn(i)))
+        aggr = _aggr_step(aggr, beta[i], chunk_fn(i))
     eval_claim = poly.evaluate_vector(aggr, x_lo)
 
     aggr_tree = merkle.commit_fields(aggr)
@@ -114,11 +127,13 @@ def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
     leaf_ids = [((r // 4) * (2 * params.cols) + c)
                 for r, c in zip(qrows, qcols)]
     lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
-    replies = []
-    for i in range(params.K):
-        codeword = enc.tensor_encode(spec, chunk_fn(i))
-        groups = std._leaf_groups(codeword)
-        replies.append(groups[lid])          # [q, 4, 2]
+
+    @maybe_jit
+    def _reply_step(chunk):
+        codeword = enc.tensor_encode(spec, chunk)
+        return std._leaf_groups(codeword)[lid]
+
+    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
     reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
     paths = merkle.open_leaves(com.tree, leaf_ids)
 
@@ -195,9 +210,15 @@ def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
     beta = poly.beta_table(x_hi)
 
     # pass A: aggregate (O(B) resident)
+    from ..utils.jitting import maybe_jit
+
+    @maybe_jit
+    def _aggr_step(aggr, b, chunk):
+        return F.fadd(aggr, F.fmul(b[None, :], chunk))
+
     aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
     for i in range(params.K):
-        aggr = F.fadd(aggr, F.fmul(beta[i][None, :], chunk_fn(i)))
+        aggr = _aggr_step(aggr, beta[i], chunk_fn(i))
     eval_claim = poly.evaluate_vector(aggr, x_lo)
 
     cf = sw.commit(aggr, rec._sw_k(params.B))
@@ -208,11 +229,13 @@ def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
     leaf_ids = [((r // 4) * (2 * params.cols) + c)
                 for r, c in zip(qrows, qcols)]
     lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
-    replies = []
-    for i in range(params.K):
-        codeword = enc.tensor_encode(spec, chunk_fn(i))
-        groups = std._leaf_groups(codeword)
-        replies.append(groups[lid])
+
+    @maybe_jit
+    def _reply_step(chunk):
+        codeword = enc.tensor_encode(spec, chunk)
+        return std._leaf_groups(codeword)[lid]
+
+    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
     reply = jnp.stack(replies, axis=1)
     paths = merkle.open_leaves(com.tree, leaf_ids)
 

@@ -92,13 +92,21 @@ def _spec(params: TensorPCParams) -> enc.TensorCodeSpec:
 
 def commit(message, params: TensorPCParams) -> TensorCommitment:
     """message: [N, 2] multilinear coefficients -> commitment."""
+    from ..utils.jitting import maybe_jit
+
     spec = _spec(params)
     chunks = message.reshape(params.K, params.B, 2)
-    tensors = enc.tensor_encode(spec, chunks)        # [K, 2r, 2c, 2]
     num_leaves = (2 * params.rows // 4) * (2 * params.cols)
-    prev = jnp.zeros((num_leaves, 8), dtype=jnp.uint32)
-    for i in range(params.K):
-        prev = blake3.hash_chained_leaf(_leaf_groups(tensors[i]), prev)
+
+    @maybe_jit
+    def _encode_and_chain(chunks):
+        tensors = enc.tensor_encode(spec, chunks)    # [K, 2r, 2c, 2]
+        prev = jnp.zeros((num_leaves, 8), dtype=jnp.uint32)
+        for i in range(params.K):
+            prev = blake3.hash_chained_leaf(_leaf_groups(tensors[i]), prev)
+        return tensors, prev
+
+    tensors, prev = _encode_and_chain(chunks)
     if num_leaves & (num_leaves - 1):
         pad = (1 << int(np.ceil(np.log2(num_leaves)))) - num_leaves
         prev = jnp.concatenate(

@@ -226,9 +226,12 @@ void rt_eval(const u32* types, const i64* idx_l, const i64* idx_r,
       o = fmul(l, r);
     } else if (t >= 3) {
       // lookup convention (streams/trace.py:_apply_level): 1-D tables,
-      // key = l.re + 256 * r.re
+      // key = l.re + 256 * r.re, clamped into the table like the device
+      // path's jnp.clip (out-of-range keys on benchmark circuits)
       i64 t0 = tab_off[t - 3];
-      i64 addr = (i64)l.re + 256 * (i64)r.re;
+      i64 len = tab_off[t - 2] - t0;
+      u64 addr64 = l.re + 256 * r.re;
+      i64 addr = (addr64 >= (u64)len) ? len - 1 : (i64)addr64;
       o = {tables[t0 + addr], 0};
     }
     mem[idx_o[g]] = o;
@@ -291,7 +294,10 @@ static void producer_loop(Producer* p) {
         else if (t == 2) o = fmul(l, r);
         else if (t >= 3) {
           i64 t0 = p->toff[t - 3];
-          o = {p->tables[t0 + (i64)l.re + 256 * (i64)r.re], 0};
+          i64 len = p->toff[t - 2] - t0;
+          u64 addr64 = l.re + 256 * r.re;
+          i64 addr = (addr64 >= (u64)len) ? len - 1 : (i64)addr64;
+          o = {p->tables[t0 + addr], 0};
         }
         mem[p->io[g]] = o;
         i64 j = g - start;

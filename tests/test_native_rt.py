@@ -76,3 +76,12 @@ def test_witness_producer_restreams():
                 got_o.append(O)
             got = np.concatenate(got_o)[:n]
             assert np.array_equal(got, np.asarray(tr.val_o))
+
+
+def test_execute_native_matches_device():
+    prog = C.fun2_range_proof_lookup(4)
+    x = C.fun2_inputs(4)
+    tn = trc.execute(prog, x, prefer_native=True)
+    td = trc.execute(prog, x, prefer_native=False)
+    for a, b in zip(tn, td):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
