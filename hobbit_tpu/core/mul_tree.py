@@ -1,5 +1,10 @@
 """Multiplication-tree product argument (in-memory).
 
+NOTE: prove/verify are deliberately NOT jitted as monoliths — the whole
+tree build + depth x log-round sumchecks in one XLA graph OOMs the TPU
+compiler at 2^20 inputs; the inner per-level sumchecks and field kernels
+are jitted individually instead.
+
 Proves, for a batch of vectors, that claimed products
 ``prod_i = x_i[0] * ... * x_i[n-1]`` are correct: build the binary product
 tree over the concatenated (padded) batch, then descend with one
@@ -52,7 +57,6 @@ def _pad_inputs(vectors: Sequence[jnp.ndarray]):
     return jnp.stack(rows), size, V
 
 
-@maybe_jit
 def prove(vectors: Sequence[jnp.ndarray], state):
     """Prove products of each vector; returns (MulTreeProof, state).
 
@@ -120,7 +124,6 @@ def _beta_pair_eval(r1, r2):
     return acc
 
 
-@maybe_jit
 def verify(proof: MulTreeProof, state):
     """Replay the transcript; returns (ok, state).
 

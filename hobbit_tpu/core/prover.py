@@ -73,6 +73,10 @@ def _pow2_above(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(2, n))))
 
 
+from ..utils.jitting import maybe_jit
+
+
+@maybe_jit
 def build_witness_poly(tr: trc.Trace):
     """[4N', 2]: slot 4t+(0,1,2) = gate t's (v_l, v_r, v_o); slot 4t+3 =
     final value of wire t (padded)."""

@@ -82,10 +82,14 @@ _TRANSPOSE_CACHE: dict = {}
 
 
 def _transposed(edges: ExpanderEdges) -> ExpanderEdges:
+    # keyed by id() — the cache also stores the edges object itself so the
+    # id can never be recycled for a different graph (stale-transpose bug)
     key = id(edges)
-    if key not in _TRANSPOSE_CACHE:
-        _TRANSPOSE_CACHE[key] = transpose_edges(edges)
-    return _TRANSPOSE_CACHE[key]
+    hit = _TRANSPOSE_CACHE.get(key)
+    if hit is None or hit[0] is not edges:
+        hit = (edges, transpose_edges(edges))
+        _TRANSPOSE_CACHE[key] = hit
+    return hit[1]
 
 
 def encode_transpose(code: SpielmanCode, y):

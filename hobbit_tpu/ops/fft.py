@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from . import field as F
 from . import poly
+from ..utils.jitting import maybe_jit
 
 
 @functools.lru_cache(maxsize=None)
@@ -42,6 +43,7 @@ def _ninv(logn: int):
     return np.array(F.py_finv((1 << logn, 0)), dtype=np.uint64)
 
 
+@maybe_jit(static_argnums=(1,))
 def fft(v, inverse: bool = False):
     """In-order FFT of v [n, 2] (n a power of two); returns [n, 2]."""
     n = v.shape[0]

@@ -15,8 +15,10 @@ import numpy as np
 import jax.numpy as jnp
 
 from . import field as F
+from ..utils.jitting import maybe_jit
 
 
+@maybe_jit
 def beta_table(r):
     """eq-table B[x] = prod_j (x_j ? r[j] : 1-r[j]); r is [k, 2] -> [2^k, 2].
 
@@ -31,6 +33,7 @@ def beta_table(r):
     return B
 
 
+@maybe_jit
 def evaluate_vector(v, r):
     """Multilinear extension of v evaluated at r (pair-fold, r[0] first).
 
@@ -70,6 +73,7 @@ def evaluate_matrix(M, r1, r2):
     return evaluate_vector(row_evals, r2)
 
 
+@maybe_jit(static_argnums=(1,))
 def powers(w, n: int):
     """[1, w, w^2, ..., w^(n-1)] via log-depth doubling; w scalar [2]."""
     assert n >= 1
@@ -97,6 +101,7 @@ def lagrange_coeffs(omega, r, degree: int):
     return F.fmul(F.fmul(batch_inv(denom), A[None, :]), pows)
 
 
+@maybe_jit
 def convolution(tables):
     """Tensor product of vectors: out[i_0..i_k] = prod_j tables[j][i_j].
 
@@ -133,6 +138,7 @@ def eval_quartic(c, x):
     return F.fadd(F.fmul(eval_cubic(c[:4], x), x), c[4])
 
 
+@maybe_jit
 def to_coefficient_form(v):
     """Multilinear evaluations -> multilinear coefficients (Moebius).
 
@@ -149,6 +155,7 @@ def to_coefficient_form(v):
     return v
 
 
+@maybe_jit
 def from_coefficient_form(c):
     """Inverse of to_coefficient_form."""
     n = c.shape[0]

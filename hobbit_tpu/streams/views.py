@@ -28,6 +28,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import field as F
+from ..utils.jitting import maybe_jit
 from . import trace as trc
 
 
@@ -59,6 +60,7 @@ class GateArrays(NamedTuple):
     sel_mul: jnp.ndarray
 
 
+@maybe_jit
 def gate_arrays(tr: trc.Trace) -> GateArrays:
     add = (tr.types == trc.T_ADD)
     mul = (tr.types == trc.T_MUL)
@@ -69,6 +71,7 @@ def gate_arrays(tr: trc.Trace) -> GateArrays:
     )
 
 
+@maybe_jit
 def gate_arrays_lookups(tr: trc.Trace, lr0, lr1) -> dict:
     """Lookup-aware gate-consistency streams (reference
     ``prove_gate_consistency_lookups``, sumcheck.cpp:503-794).
@@ -118,6 +121,7 @@ def _rlc(addr_f, val, acc_f, a, b):
     return F.fadd(e, F.fmul(b[None, :], acc_f))
 
 
+@maybe_jit
 def wiring_read_write_sets(tr: trc.Trace, a, b):
     """3 read/write RLC pairs per gate: (l, r, o-creation).
 
@@ -137,6 +141,7 @@ def wiring_read_write_sets(tr: trc.Trace, a, b):
     return reads, writes
 
 
+@maybe_jit(static_argnums=(1,))
 def wiring_init_final_sets(tr: trc.Trace, num_inputs: int, a, b):
     """INIT = (w, v, 0) for gate wires / (w, v, 1) for inputs;
     FINAL = (w, v, final_count).  Both [W, 2]."""
@@ -199,6 +204,7 @@ def lookup_ranks(addr, num_buckets: int):
     return ranks, counts
 
 
+@maybe_jit(static_argnums=(4,))
 def lookup_sets(tr: trc.Trace, tables, a, b, table_size: int = 1 << 16):
     """Read/write sets per lookup gate + init/final sets per table entry.
 
