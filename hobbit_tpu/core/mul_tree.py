@@ -1,9 +1,8 @@
 """Multiplication-tree product argument (in-memory).
 
-NOTE: prove/verify are deliberately NOT jitted as monoliths — the whole
-tree build + depth x log-round sumchecks in one XLA graph OOMs the TPU
-compiler at 2^20 inputs; the inner per-level sumchecks and field kernels
-are jitted individually instead.
+The whole prover is one jitted graph: the per-level sumchecks run as
+fixed-shape lax.scans (see core.sumcheck), which keeps the monolithic
+graph small enough for the TPU compiler even at 2^20 inputs.
 
 Proves, for a batch of vectors, that claimed products
 ``prod_i = x_i[0] * ... * x_i[n-1]`` are correct: build the binary product
@@ -58,6 +57,11 @@ def _pad_inputs(vectors: Sequence[jnp.ndarray]):
 
 
 def prove(vectors: Sequence[jnp.ndarray], state):
+    return _prove_jit(tuple(vectors), state)
+
+
+@maybe_jit
+def _prove_jit(vectors, state):
     """Prove products of each vector; returns (MulTreeProof, state).
 
     Padding deviation from the reference: we pad missing batch rows with

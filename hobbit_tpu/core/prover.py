@@ -184,18 +184,20 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         gc_proof, state = gc.prove(lambda i: chunks[i], K, B, r, state)
     timings["gate_consistency"] = time.time() - t0
 
-    # ---- 5. witness openings at the gate-consistency point --------------
+    # ---- 5. witness opening at the gate-consistency point ---------------
+    # The three lane points (L/R/O) differ only in the two LOW bits, which
+    # live inside x_lo — the aggregate, queries and replies are identical,
+    # so ONE opening binds all three lane evaluations (the verifier
+    # evaluates the transmitted aggregate at each lane's x_lo).
     t0 = time.time()
     point = jnp.concatenate([gc_proof.mem_proof.challenges,
                              gc_proof.bind_proof.challenges], axis=0)
     log_n4 = int(np.log2(N4))
-    zero, one = F.scalar(0), F.scalar(1)
-    openings = []
-    for lane_bits in ((zero, zero), (one, zero), (zero, one)):
-        lane_pt = jnp.stack([lane_bits[0], lane_bits[1]])
-        full_pt = jnp.concatenate([lane_pt, point], axis=0)[:log_n4]
-        opening, state = pc.open(wpoly, commitment, full_pt, params, state)
-        openings.append(opening)
+    zero = F.scalar(0)
+    lane_pt = jnp.stack([zero, zero])
+    full_pt = jnp.concatenate([lane_pt, point], axis=0)[:log_n4]
+    opening, state = pc.open(wpoly, commitment, full_pt, params, state)
+    openings = [opening]
     timings["open"] = time.time() - t0
 
     proof = CircuitProof(
@@ -277,18 +279,21 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
                             queries=min(64, 790))
     log_n4 = int(np.log2(N4))
     zero, one = F.scalar(0), F.scalar(1)
+    lb_pc = int(np.log2(params.B))
+    opening = proof.openings[0]
+    base_pt = jnp.concatenate([jnp.stack([zero, zero]), res.point],
+                              axis=0)[:log_n4]
+    oko, state = pc.verify(proof.witness_root, base_pt, opening, params,
+                           state)
+    ok = ok and bool(oko)
+    # one opening binds all three lanes: evaluate the transmitted
+    # aggregate at each lane's x_lo
+    npad = N4 // 4
     for li, lane_bits in enumerate(((zero, zero), (one, zero), (zero, one))):
         lane_pt = jnp.stack([lane_bits[0], lane_bits[1]])
         full_pt = jnp.concatenate([lane_pt, res.point], axis=0)[:log_n4]
-        oko, state = pc.verify(proof.witness_root, full_pt,
-                               proof.openings[li], params, state)
-        ok = ok and bool(oko)
-        lane = ("L", "R", "O")[li]
-        want = res.stream_evals[lane]
-        # opening evaluates the padded witness; the stream eval covers the
-        # first num_gates entries of the lane — equal when N' == padded N
-        got = proof.openings[li].eval_claim
-        npad = N4 // 4
+        got = poly.evaluate_vector(opening.aggr, full_pt[:lb_pc])
+        want = res.stream_evals[("L", "R", "O")[li]]
         if npad == K * B:
             ok = ok and bool(F.feq(got, want))
 

@@ -69,23 +69,63 @@ def _product_sumcheck(arrays, state, extra_factors=None):
 
     arrays: list of [n, 2]; proves sum_x prod_j arrays[j][x].
     Returns (proof, state after absorbing polys + final evals).
-    """
+
+    Implemented as ONE fixed-shape ``lax.scan`` over the rounds: the folded
+    values live in a contiguous prefix of a length-n/2 buffer and a mask
+    zeroes the inactive pairs' contributions, so every round has identical
+    shapes — one small compiled kernel per n instead of an unrolled
+    log(n)-round graph (which takes minutes per shape on the TPU
+    compiler).  Transcripts are identical to the unrolled version."""
+    return _product_sumcheck_scan(tuple(arrays), state)
+
+
+@maybe_jit
+def _product_sumcheck_scan(arrays, state):
     n = arrays[0].shape[0]
     rounds = int(np.log2(n))
+    k = len(arrays)
     assert all(a.shape[0] == n for a in arrays)
-    vs = list(arrays)
-    polys, challenges = [], []
-    for _ in range(rounds):
-        lins = [_lin(v) for v in vs]
-        coeffs = _round_coeffs(lins)
-        state = mimc.absorb(state, coeffs)
-        state, r = mimc.squeeze1(state)
-        vs = [poly.fold_once(v, r) for v in vs]
-        polys.append(coeffs)
-        challenges.append(r)
-    finals = jnp.stack([v[0] for v in vs])
+    vs = jnp.stack(arrays)                          # [k, n, 2]
+    if rounds == 0:
+        finals = vs[:, 0]
+        state = mimc.absorb(state, finals)
+        return SumcheckProof(jnp.zeros((0, k + 1, 2), jnp.uint64),
+                             jnp.zeros((0, 2), jnp.uint64), finals), state
+    idx = jnp.arange(n // 2, dtype=jnp.int32)
+    ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
+
+    def body(carry, i):
+        vs, state = carry
+        m_half = n >> (i + 1)                       # active pairs (traced)
+        mask = (idx < m_half)[:, None]
+        v0 = vs[:, 0::2]                            # [k, n/2, 2]
+        v1 = vs[:, 1::2]
+        slope = F.fsub(v1, v0)
+        # per-pair coefficient DP over the k linear factors; inactive
+        # pairs start at 0 so their products vanish
+        acc = [jnp.where(mask, ones, 0)]
+        for j in range(k):
+            new = [None] * (len(acc) + 1)
+            for d, c in enumerate(acc):
+                t0 = F.fmul(c, v0[j])
+                t1 = F.fmul(c, slope[j])
+                new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
+                new[d + 1] = t1 if new[d + 1] is None \
+                    else F.fadd(new[d + 1], t1)
+            acc = new
+        # descending powers to match the unrolled layout
+        coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
+        state2 = mimc.absorb(state, coeffs)
+        state2, r = mimc.squeeze1(state2)
+        folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
+        vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        return (vs2, state2), (coeffs, r)
+
+    (vs, state), (polys, chals) = jax.lax.scan(
+        body, (vs, state), jnp.arange(rounds, dtype=jnp.int32))
+    finals = vs[:, 0]
     state = mimc.absorb(state, finals)
-    proof = SumcheckProof(jnp.stack(polys), jnp.stack(challenges), finals)
+    proof = SumcheckProof(polys, chals, finals)
     return proof, state
 
 
@@ -264,33 +304,64 @@ def prove_mixed(arrays: dict, groups, weights, state):
     challenge each round, so every group's final claim lands on one point.
     Used by the fold-phase gate consistency (terms of degree 2 and 3 share
     beta and selector arrays).
-    """
-    names = sorted(arrays.keys())
+
+    Fixed-shape masked lax.scan over the rounds (see _product_sumcheck_scan
+    — one small compile per size, identical transcripts)."""
+    names = tuple(sorted(arrays.keys()))
     n = arrays[names[0]].shape[0]
     rounds = int(np.log2(n))
     maxdeg = max(len(g) for g in groups)
-    vs = dict(arrays)
-    polys, challenges = [], []
-    for _ in range(rounds):
-        lins = {a: _lin(vs[a]) for a in names}
+    vs = jnp.stack([arrays[a] for a in names])      # [A, n, 2]
+    pos = {a: i for i, a in enumerate(names)}
+
+    if rounds == 0:
+        finals = {a: vs[pos[a], 0] for a in names}
+        state = mimc.absorb(state, jnp.stack([finals[a] for a in names]))
+        return MixedSumcheckProof(
+            jnp.zeros((0, maxdeg + 1, 2), jnp.uint64),
+            jnp.zeros((0, 2), jnp.uint64), finals), state
+
+    idx = jnp.arange(n // 2, dtype=jnp.int32)
+    ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
+
+    def body(carry, i):
+        vs, state = carry
+        m_half = n >> (i + 1)
+        mask = (idx < m_half)[:, None]
+        v0 = vs[:, 0::2]
+        v1 = vs[:, 1::2]
+        slope = F.fsub(v1, v0)
         total = None
         for gi, g in enumerate(groups):
-            coeffs = _round_coeffs([lins[a] for a in g])
+            acc = [jnp.where(mask, ones, 0)]
+            for a in g:
+                j = pos[a]
+                new = [None] * (len(acc) + 1)
+                for d, c in enumerate(acc):
+                    t0 = F.fmul(c, v0[j])
+                    t1 = F.fmul(c, slope[j])
+                    new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
+                    new[d + 1] = t1 if new[d + 1] is None \
+                        else F.fadd(new[d + 1], t1)
+                acc = new
+            coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
             if coeffs.shape[0] < maxdeg + 1:
                 pad = jnp.zeros((maxdeg + 1 - coeffs.shape[0], 2),
                                 dtype=coeffs.dtype)
                 coeffs = jnp.concatenate([pad, coeffs], axis=0)
             coeffs = F.fmul(coeffs, weights[gi][None, :])
             total = coeffs if total is None else F.fadd(total, coeffs)
-        state = mimc.absorb(state, total)
-        state, r = mimc.squeeze1(state)
-        vs = {a: poly.fold_once(v, r) for a, v in vs.items()}
-        polys.append(total)
-        challenges.append(r)
-    finals = {a: vs[a][0] for a in names}
+        state2 = mimc.absorb(state, total)
+        state2, r = mimc.squeeze1(state2)
+        folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
+        vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        return (vs2, state2), (total, r)
+
+    (vs, state), (polys, chals) = jax.lax.scan(
+        body, (vs, state), jnp.arange(rounds, dtype=jnp.int32))
+    finals = {a: vs[pos[a], 0] for a in names}
     state = mimc.absorb(state, jnp.stack([finals[a] for a in names]))
-    return MixedSumcheckProof(jnp.stack(polys), jnp.stack(challenges),
-                              finals), state
+    return MixedSumcheckProof(polys, chals, finals), state
 
 
 def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):

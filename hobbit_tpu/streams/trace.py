@@ -194,6 +194,12 @@ def execute(program: CircuitProgram, inputs,
     runtime when available (the reference's producer, Seval.cpp; ~20M
     gates/s host-side) — bit-identical to the device path, which remains
     the fallback and the reference implementation for tests."""
+    from ..utils.jitting import JIT_ENABLED
+    if JIT_ENABLED and program.num_gates > 0:
+        # production path: evaluate ON DEVICE as one compiled program —
+        # only the inputs cross the host->device link (the trace itself
+        # never does; on a remote-attached TPU that link dominates)
+        return _execute_device_jit(program, inputs)
     if prefer_native:
         try:
             from ..runtime import native_rt as rt
@@ -202,6 +208,23 @@ def execute(program: CircuitProgram, inputs,
         except Exception:
             pass
     return _execute_device(program, inputs)
+
+
+_DEVICE_EVAL_CACHE: dict = {}
+
+
+def _execute_device_jit(program: CircuitProgram, inputs) -> Trace:
+    import jax
+
+    key = id(program)
+    hit = _DEVICE_EVAL_CACHE.get(key)
+    if hit is None or hit[0] is not program:
+        def run(x):
+            return _execute_device(program, x)
+
+        hit = (program, jax.jit(run))
+        _DEVICE_EVAL_CACHE[key] = hit
+    return hit[1](inputs)
 
 
 def _execute_native(program: CircuitProgram, inputs, rt) -> Trace:
@@ -214,11 +237,13 @@ def _execute_native(program: CircuitProgram, inputs, rt) -> Trace:
     types = np.concatenate([l.types for l in program.levels]).astype(np.int32)
     idx_l = np.concatenate([l.idx_l for l in program.levels])
     idx_r = np.concatenate([l.idx_r for l in program.levels])
+    # ship the three value streams as ONE host->device transfer
+    vals = jnp.asarray(np.stack([L, R, O]))
     return Trace(
         types=jnp.asarray(types),
         idx_o=jnp.asarray(idx_o), idx_l=jnp.asarray(idx_l),
         idx_r=jnp.asarray(idx_r),
-        val_o=jnp.asarray(O), val_l=jnp.asarray(L), val_r=jnp.asarray(R),
+        val_o=vals[2], val_l=vals[0], val_r=vals[1],
         acc_l=jnp.asarray(program.acc_l), acc_r=jnp.asarray(program.acc_r),
         fin_idx=jnp.arange(program.num_wires, dtype=jnp.int64),
         fin_val=jnp.asarray(label_vals),
