@@ -49,11 +49,13 @@ class CircuitProof(NamedTuple):
     wiring_proof: object             # MulTreeProof | StreamMulTreeProof
     lookup_proof: Optional[object]
     gc_proof: object                 # GateConsistencyProof | FoldStreamProof
-    openings: tuple                  # 3 x pc.TensorOpening (L, R, O lanes)
+    openings: tuple                  # 1 x pc.TensorOpening (all 3 lanes)
     num_gates: int
     num_chunks: int
     chunk_size: int
     lookup_mode: bool                # lookup-aware gate consistency used
+    circuit_root: Optional[jnp.ndarray]   # committed circuit description
+    circuit_opening: Optional[object]     # its opening at the gc point
     timings: dict
 
 
@@ -100,7 +102,8 @@ def _padded_gate_chunks(oracle: trc.TraceOracle, B: int, K: int):
 
 
 def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
-          pc_K: int = 4, pc_rows: Optional[int] = None):
+          pc_K: int = 4, pc_rows: Optional[int] = None,
+          commit_circuit: bool = True):
     """Run the full proof; returns (CircuitProof, state)."""
     timings = {}
     t0 = time.time()
@@ -198,6 +201,25 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     full_pt = jnp.concatenate([lane_pt, point], axis=0)[:log_n4]
     opening, state = pc.open(wpoly, commitment, full_pt, params, state)
     openings = [opening]
+
+    # ---- 5b. circuit-description commitment + opening --------------------
+    # (prove_arbitrary_circuit, main.cpp:812-852: the circuit polynomial is
+    # committed and opened like the witness; one opening binds all 8 lanes
+    # and the verifier reconstructs the selector evaluations from them.)
+    circuit_root = circuit_opening = None
+    if commit_circuit:
+        cpoly = views.circuit_lanes(tr, np2)
+        cparams = pc.make_params(8 * np2, pc_K, rows,
+                                 linear_time=config.linear_time,
+                                 queries=min(64, 790))
+        ccom = pc.commit(cpoly, cparams)
+        circuit_root = ccom.root
+        state = mimc.absorb(state,
+                            ccom.root.astype(jnp.uint64).reshape(4, 2))
+        c_pt = jnp.concatenate(
+            [jnp.stack([zero, zero, zero]), point],
+            axis=0)[: int(np.log2(8 * np2))]
+        circuit_opening, state = pc.open(cpoly, ccom, c_pt, cparams, state)
     timings["open"] = time.time() - t0
 
     proof = CircuitProof(
@@ -210,6 +232,8 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         num_chunks=K,
         chunk_size=B,
         lookup_mode=lookup_mode,
+        circuit_root=circuit_root,
+        circuit_opening=circuit_opening,
         timings=timings,
     )
     return proof, state
@@ -297,7 +321,8 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
         if npad == K * B:
             ok = ok and bool(F.feq(got, want))
 
-    # transparent checks: selectors + wiring/lookup set evaluations
+    # selector evaluations: bound by the circuit-description commitment
+    # when present (prove_arbitrary_circuit path), else transparent
     n_total = K * B
 
     def _padded_eval(arr, point):
@@ -305,7 +330,49 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
             [arr, jnp.zeros((n_total - arr.shape[0], 2), jnp.uint64)])
         return poly.evaluate_vector(full, point)
 
-    if proof.lookup_mode:
+    if proof.circuit_root is not None:
+        np2 = N4 // 4
+        cparams = pc.make_params(8 * np2, pc_K, rows,
+                                 linear_time=config.linear_time,
+                                 queries=min(64, 790))
+        state = mimc.absorb(
+            state, proof.circuit_root.astype(jnp.uint64).reshape(4, 2))
+        c_pt = jnp.concatenate(
+            [jnp.stack([zero, zero, zero]), res.point],
+            axis=0)[: int(np.log2(8 * np2))]
+        okc, state = pc.verify(proof.circuit_root, c_pt,
+                               proof.circuit_opening, cparams, state)
+        ok = ok and bool(okc)
+        # the circuit commitment itself is public input: recompute its root
+        cpoly = views.circuit_lanes(tr, np2)
+        ccom = pc.commit(cpoly, cparams)
+        ok = ok and bool(jnp.all(ccom.root == proof.circuit_root))
+        # lane evals at the gc point from the single opening's aggregate
+        lb_c = int(np.log2(cparams.B))
+        lane_evals = []
+        for lane in range(8):
+            bits = jnp.stack([F.scalar((lane >> b) & 1) for b in range(3)])
+            fp = jnp.concatenate([bits, res.point],
+                                 axis=0)[: int(np.log2(8 * np2))]
+            lane_evals.append(
+                poly.evaluate_vector(proof.circuit_opening.aggr,
+                                     fp[:lb_c]))
+        add_e, mul_e, lkp_e = lane_evals[0], lane_evals[1], lane_evals[2]
+        if proof.lookup_mode:
+            saL = F.fadd(add_e, F.fmul(lkw[0], lkp_e))
+            saR = F.fadd(add_e, F.fmul(lkw[1], lkp_e))
+            ok = ok and bool(F.feq(res.stream_evals["saL"], saL))
+            ok = ok and bool(F.feq(res.stream_evals["saR"], saR))
+            ok = ok and bool(F.feq(res.stream_evals["sm"], mul_e))
+            ok = ok and bool(F.feq(res.stream_evals["slkp"], lkp_e))
+            # lkpO is a pointwise product stream — still transparent
+            streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
+            want = _padded_eval(streams["lkpO"], res.point)
+            ok = ok and bool(F.feq(res.stream_evals["lkpO"], want))
+        else:
+            ok = ok and bool(F.feq(res.stream_evals["sa"], add_e))
+            ok = ok and bool(F.feq(res.stream_evals["sm"], mul_e))
+    elif proof.lookup_mode:
         streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
         for name in ("saL", "saR", "sm", "slkp", "lkpO"):
             want = _padded_eval(streams[name], res.point)

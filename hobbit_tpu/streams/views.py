@@ -180,6 +180,27 @@ def circuit_description(tr: trc.Trace):
     return jnp.concatenate([per_gate, per_wire], axis=0)
 
 
+@maybe_jit(static_argnums=(1,))
+def circuit_lanes(tr: trc.Trace, npad: int):
+    """8-lane circuit-description polynomial [8*npad, 2]: per gate slot
+    (add_ind, mul_ind, lkp_ind, idx_o, idx_l, idx_r, acc_l, acc_r), lane
+    index in the LOW 3 bits (same layout trick as the witness poly).
+
+    The committed form of the reference's 16N "circuit" stream
+    (witness_stream.cpp:2123-2162): one PC opening at a sumcheck point
+    binds every selector evaluation (selector MLEs for the lookup-aware
+    identity are linear in these lanes: saL = add + lr0 * lkp, etc)."""
+    n = tr.types.shape[0]
+    add = (tr.types == trc.T_ADD).astype(jnp.int64)
+    mul = (tr.types == trc.T_MUL).astype(jnp.int64)
+    lkp = (tr.types >= trc.T_LOOKUP0).astype(jnp.int64)
+    lanes = jnp.zeros((npad, 8, 2), dtype=jnp.uint64)
+    cols = (add, mul, lkp, tr.idx_o, tr.idx_l, tr.idx_r, tr.acc_l, tr.acc_r)
+    for li, c in enumerate(cols):
+        lanes = lanes.at[:n, li].set(_as_field_int(c))
+    return lanes.reshape(8 * npad, 2)
+
+
 # ---------------------------------------------------------------------------
 # lookup argument sets (table memory checking)
 # ---------------------------------------------------------------------------
