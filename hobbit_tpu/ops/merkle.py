@@ -35,10 +35,22 @@ def _sha_field_leaves(f):
     return sha256.hash64(blake3.fields_to_words(f))
 
 
+def _sha3_pairs(a, b):
+    from . import sha3
+    return sha3.hash64(jnp.concatenate([a, b], axis=-1))
+
+
+def _sha3_field_leaves(f):
+    from . import sha3
+    return sha3.hash64(blake3.fields_to_words(f))
+
+
 _BACKENDS = {
     "blake3": (blake3.hash_field_leaves, blake3.hash_pairs),
-    # the reference's __hhash_digest SHA path (my_hhash.h:30-38): used by
-    # the Pigeon/Breakdown PC family (poly_commit.cpp)
+    # the reference's __hhash_digest paths (my_hhash.h:10-38): SHA3-256
+    # (XKCP, the default) and SHA-256 (flo-shani alternative) — used by the
+    # Pigeon/Breakdown PC family (poly_commit.cpp) and vendored Virgo
+    "sha3": (_sha3_field_leaves, _sha3_pairs),
     "sha256": (_sha_field_leaves, _sha_pairs),
 }
 

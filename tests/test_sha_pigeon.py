@@ -53,3 +53,18 @@ def test_pigeon_pc_roundtrip(mode):
     okb, _ = pigeon.verify(com.root, x, bad, params, com.code,
                            mimc.fresh_state())
     assert not bool(okb)
+
+
+def test_sha3_bitexact_and_merkle():
+    from hobbit_tpu.ops import sha3
+    msg = bytes(range(64))
+    words = jnp.asarray(np.frombuffer(msg, dtype="<u4"))[None]
+    got = np.asarray(sha3.hash64(words))[0].tobytes()
+    assert got == sha3.py_hash64(msg)
+
+    rng = np.random.default_rng(5)
+    vals = _rf(rng, 32)
+    tree = merkle.commit_fields(vals, backend="sha3")
+    path = merkle.open_leaf(tree, 3)
+    assert merkle.verify_leaf(tree.root, tree.levels[0][3], 3, path,
+                              backend="sha3")
