@@ -74,7 +74,7 @@ def prove(vchunk: Callable[[int], jnp.ndarray],
     groups_r = per-group univariate challenges; the final claims are
     V~/H~ at the generalized point (see ``weight_vector``)."""
     m = 1 << c
-    K = N // B
+    K = max(1, N // B)
     groups_L: List = []            # per-group Lagrange coefficient vectors
     round_evals = []
     groups_r = []
@@ -147,6 +147,104 @@ def verify(proof: CompressedSumcheckProof, claim, state):
     H_eval = proof.tail.final_evals[1]
     gr = jnp.stack(groups_r) if groups_r else jnp.zeros((0, 2), jnp.uint64)
     return ok, gr, tail_point, (V_eval, H_eval), state
+
+
+# ---------------------------------------------------------------------------
+# Multi-pair variant: sum_p sum_x V_p(x) H_p(x) with ALL pairs sharing the
+# round challenges (the shape of a GKR layer phase:
+# sum_u V(u) G1(u) + sum_u G2(u) 1(u)).
+# ---------------------------------------------------------------------------
+
+def prove_pairs(pair_chunk_fns, N: int, B: int, c: int, state):
+    """pair_chunk_fns: list of (vchunk, hchunk); proves the SUM over pairs.
+
+    Returns (proof, groups_r, tail_point, state); final claims are per-pair
+    (V_p, H_p) evaluations at the shared generalized point."""
+    m = 1 << c
+    K = max(1, N // B)
+    P = len(pair_chunk_fns)
+    groups_L: List = []
+    round_evals = []
+    groups_r = []
+    rem = N
+
+    while rem > B:
+        W = _fold_weights(groups_L)
+        f = 1 if W is None else W.shape[0]
+        q = jnp.zeros((2 * m, 2), dtype=jnp.uint64)
+        for (vf, hf) in pair_chunk_fns:
+            for i in range(K):
+                v, h = vf(i), hf(i)
+                if W is not None:
+                    v = F.fsum(F.fmul(v.reshape(-1, f, 2), W[None]), axis=1)
+                    h = F.fsum(F.fmul(h.reshape(-1, f, 2), W[None]), axis=1)
+                ve = _block_extend(v, m)
+                he = _block_extend(h, m)
+                q = F.fadd(q, F.fsum(F.fmul(ve, he), axis=0))
+        state = mimc.absorb(state, q)
+        state, r = mimc.squeeze1(state)
+        L = poly.lagrange_coeffs(
+            jnp.asarray(np.array(F.root_of_unity(c), np.uint64)), r, m)
+        groups_L.append(L)
+        groups_r.append(r)
+        round_evals.append(q)
+        rem //= m
+
+    W = _fold_weights(groups_L)
+    f = 1 if W is None else W.shape[0]
+    arrays = {}
+    groups = []
+    for pi, (vf, hf) in enumerate(pair_chunk_fns):
+        vs, hs = [], []
+        for i in range(K):
+            v, h = vf(i), hf(i)
+            if W is not None:
+                v = F.fsum(F.fmul(v.reshape(-1, f, 2), W[None]), axis=1)
+                h = F.fsum(F.fmul(h.reshape(-1, f, 2), W[None]), axis=1)
+            vs.append(v)
+            hs.append(h)
+        arrays[f"V{pi}"] = jnp.concatenate(vs)[:rem]
+        arrays[f"H{pi}"] = jnp.concatenate(hs)[:rem]
+        groups.append((f"V{pi}", f"H{pi}"))
+    ones = jnp.zeros((P, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    tail, state = sc.prove_mixed(arrays, tuple(groups), ones, state)
+
+    proof = CompressedPairsProof(
+        round_evals=tuple(round_evals), tail=tail, c=c, N=N, B=B, pairs=P)
+    gr = jnp.stack(groups_r) if groups_r else jnp.zeros((0, 2), jnp.uint64)
+    return proof, gr, tail.challenges, state
+
+
+class CompressedPairsProof(NamedTuple):
+    round_evals: tuple
+    tail: sc.MixedSumcheckProof
+    c: int
+    N: int
+    B: int
+    pairs: int
+
+
+def verify_pairs(proof: CompressedPairsProof, claim, state):
+    """Returns (ok, groups_r, tail_point, final_evals dict, state)."""
+    m = 1 << proof.c
+    ok = jnp.array(True)
+    groups_r = []
+    cur = claim
+    for q in proof.round_evals:
+        s = F.fsum(q[0::2])
+        ok = jnp.logical_and(ok, F.feq(s, cur))
+        state = mimc.absorb(state, q)
+        state, r = mimc.squeeze1(state)
+        groups_r.append(r)
+        cur = _eval_on_dprime(q, r, m)
+
+    groups = tuple((f"V{p}", f"H{p}") for p in range(proof.pairs))
+    ones = jnp.zeros((proof.pairs, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    okt, tail_point, state = sc.verify_mixed(proof.tail, cur, groups, ones,
+                                             state)
+    ok = jnp.logical_and(ok, okt)
+    gr = jnp.stack(groups_r) if groups_r else jnp.zeros((0, 2), jnp.uint64)
+    return ok, gr, tail_point, proof.tail.final_evals, state
 
 
 def weight_vector(groups_r, tail_point, c: int, N: int):

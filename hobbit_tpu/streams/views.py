@@ -13,10 +13,11 @@ transform from trace tensors to protocol vectors.
                            access ranks computed by sort/segment ops
                            ("lookup_basic"/"lookup_check", :2198-2275)
 
-Deviation (documented): lookup gates contribute zero to the gate-consistency
-relation here; their correctness is carried entirely by the table
-memory-checking product (the reference folds a linearized lr0*L+lr1*R-O
-check into the sumcheck instead — same coverage, one argument fewer).
+Two gate-consistency views exist: the basic one (lookup gates contribute
+zero; table correctness carried by the lookup product argument) and the
+lookup-aware one (``gate_arrays_lookups``) matching the reference's
+linearized lr0*L+lr1*R-O fold (sumcheck.cpp:503) — the prover driver picks
+the latter whenever the circuit has tables.
 """
 
 from __future__ import annotations
