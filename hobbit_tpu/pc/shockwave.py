@@ -52,6 +52,12 @@ class ShockwaveOpening(NamedTuple):
     paths: jnp.ndarray           # [q, depth, 8] outer-tree paths
     p1: sc.SumcheckProof         # indicator consistency sumcheck
     p2: fsc.FFTSumcheckProof     # FFT relation sumcheck
+    whir_root: Optional[jnp.ndarray] = None   # WHIR-recursion mode
+    wp_x: Optional[object] = None             # WHIR proof at x_lo
+    wp_f: Optional[object] = None             # WHIR proof at the fft point
+
+
+WHIR_THRESHOLD = 1 << 8      # recurse into WHIR above this (Virgo.cpp:479)
 
 
 def _column_roots(encoded):
@@ -105,6 +111,21 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     p1, state = sc.prove_2product(aggr_tensor, indicator, state)
     p2, _, state = fsc.prove_fft(aggr, p1.challenges, state)
 
+    if cols > WHIR_THRESHOLD:
+        # inner recursion: the aggregate is WHIR-committed and opened at
+        # both required points instead of transmitted (Virgo.cpp:479-517)
+        from . import whir
+        wc = whir.commit(aggr)
+        state = mimc.absorb(state, wc.root.astype(jnp.uint64).reshape(4, 2))
+        wp_x, _, state = whir.prove(wc, aggr, x_lo, state)
+        fpoint = p2.inner.challenges
+        wp_f, _, state = whir.prove(wc, aggr, fpoint[: lc], state)
+        return ShockwaveOpening(
+            eval_claim=eval_claim, aggr=None, queries=idx, reply=reply,
+            paths=paths, p1=p1, p2=p2, whir_root=wc.root,
+            wp_x=wp_x, wp_f=wp_f,
+        ), state
+
     state = mimc.absorb(state, aggr)               # naive-mode transmission
     return ShockwaveOpening(
         eval_claim=eval_claim, aggr=aggr, queries=idx, reply=reply,
@@ -157,6 +178,24 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
     okf, fpoint, msg_eval, state = fsc.verify_fft(
         opening.p2, point, opening.p1.final_evals[0], state)
     ok = ok and bool(okf)
+
+    lc_bits = int(np.log2(cols))
+    if opening.whir_root is not None:
+        # WHIR-recursion mode: both aggregate evaluations are proven
+        # against the inner commitment; the per-query re-encode check is
+        # subsumed by the indicator + FFT sumchecks
+        from . import whir
+        state = mimc.absorb(
+            state, opening.whir_root.astype(jnp.uint64).reshape(4, 2))
+        okx, state = whir.verify(opening.whir_root, opening.wp_x, x_lo,
+                                 opening.eval_claim, state)
+        ok = ok and bool(okx)
+        one = F.scalar(1)
+        y_f = F.fmul(msg_eval, F.finv(F.fsub(one, fpoint[lc_bits])))
+        okw, state = whir.verify(opening.whir_root, opening.wp_f,
+                                 fpoint[:lc_bits], y_f, state)
+        ok = ok and bool(okw)
+        return ok, state
 
     # naive-mode: aggregate transmitted; check both evaluation bindings
     state = mimc.absorb(state, opening.aggr)

@@ -84,3 +84,35 @@ def test_shockwave_rejects_tampered_reply():
     ok, _ = sw.verify(data.outer.root, bad, x, k, N,
                       mimc.fresh_state(), queries=10)
     assert not ok
+
+
+def test_shockwave_whir_recursion_mode():
+    """cols > 2^8 triggers the WHIR inner recursion: no transmitted
+    aggregate, both evaluations proven against the inner commitment."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hobbit_tpu.ops import field as F, mimc, poly
+    from hobbit_tpu.pc import shockwave as sw
+
+    rng = np.random.default_rng(21)
+    N, k = 1 << 12, 8                       # cols = 512 > WHIR_THRESHOLD
+    re = rng.integers(0, F.P, size=(N,), dtype=np.uint64)
+    im = rng.integers(0, F.P, size=(N,), dtype=np.uint64)
+    msg = jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+    data = sw.commit(msg, k)
+    xre = rng.integers(0, F.P, size=(12,), dtype=np.uint64)
+    xim = rng.integers(0, F.P, size=(12,), dtype=np.uint64)
+    x = jnp.stack([jnp.asarray(xre), jnp.asarray(xim)], axis=-1)
+
+    opening, _ = sw.open(data, x, mimc.fresh_state(), queries=8)
+    assert opening.aggr is None and opening.whir_root is not None
+    assert bool(F.feq(opening.eval_claim, poly.evaluate_vector(msg, x)))
+    ok, _ = sw.verify(data.outer.root, opening, x, k, N,
+                      mimc.fresh_state(), queries=8)
+    assert bool(ok)
+
+    bad = opening._replace(eval_claim=F.fadd(opening.eval_claim,
+                                             F.scalar(1)))
+    okb, _ = sw.verify(data.outer.root, bad, x, k, N, mimc.fresh_state(),
+                       queries=8)
+    assert not bool(okb)
