@@ -112,13 +112,31 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     timings["witness_gen"] = time.time() - t0
 
     # ---- 1. witness commitment -----------------------------------------
+    # witness larger than the buffer: STREAMING Elastic commit (chunked
+    # tensorcode + chained Merkle leaves, O(B) resident — the reference's
+    # commit(fd_witness), Elastic_PC.cpp:174); else the in-memory PC.
     t0 = time.time()
     wpoly = build_witness_poly(tr)
     N4 = wpoly.shape[0]
     rows = pc_rows or max(4, config.tensor_row_size)
-    params = pc.make_params(N4, pc_K, rows, linear_time=config.linear_time,
-                            queries=min(64, 790))
-    commitment = pc.commit(wpoly, params)
+    # streaming commit when the witness exceeds the buffer, bounded to
+    # K <= 32 chunks (tiny-buffer test configs fall back to the in-memory
+    # PC; production buffers keep K small)
+    use_elastic = (N4 > 2 * config.buffer_space
+                   and N4 // config.buffer_space <= 32)
+    if use_elastic:
+        from ..pc import elastic
+        K_el = max(pc_K, N4 // config.buffer_space)
+        params = pc.make_params(N4, K_el, rows,
+                                linear_time=config.linear_time,
+                                queries=min(64, 790))
+        commitment = elastic.commit_stream(
+            lambda i: wpoly[i * params.B:(i + 1) * params.B], params)
+    else:
+        params = pc.make_params(N4, pc_K, rows,
+                                linear_time=config.linear_time,
+                                queries=min(64, 790))
+        commitment = pc.commit(wpoly, params)
     state = mimc.fresh_state()
     state = mimc.absorb(state,
                         commitment.root.astype(jnp.uint64).reshape(4, 2))
@@ -199,7 +217,13 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     zero = F.scalar(0)
     lane_pt = jnp.stack([zero, zero])
     full_pt = jnp.concatenate([lane_pt, point], axis=0)[:log_n4]
-    opening, state = pc.open(wpoly, commitment, full_pt, params, state)
+    if use_elastic:
+        from ..pc import elastic
+        opening, state = elastic.open_stream(
+            lambda i: wpoly[i * params.B:(i + 1) * params.B],
+            commitment, full_pt, state)
+    else:
+        opening, state = pc.open(wpoly, commitment, full_pt, params, state)
     openings = [opening]
 
     # ---- 5b. circuit-description commitment + opening --------------------
@@ -295,11 +319,15 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
         ok = ok and bool(res.ok)
 
     # witness openings: bind the L/R/O stream evals to the commitment
+    from ..pc import elastic
     tr = trc.execute(program, inputs)     # transparent recomputation part
     wpoly = build_witness_poly(tr)
     N4 = wpoly.shape[0]
     rows = pc_rows or max(4, config.tensor_row_size)
-    params = pc.make_params(N4, pc_K, rows, linear_time=config.linear_time,
+    use_elastic = (N4 > 2 * config.buffer_space
+                   and N4 // config.buffer_space <= 32)
+    K_w = max(pc_K, N4 // config.buffer_space) if use_elastic else pc_K
+    params = pc.make_params(N4, K_w, rows, linear_time=config.linear_time,
                             queries=min(64, 790))
     log_n4 = int(np.log2(N4))
     zero, one = F.scalar(0), F.scalar(1)
@@ -307,8 +335,12 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
     opening = proof.openings[0]
     base_pt = jnp.concatenate([jnp.stack([zero, zero]), res.point],
                               axis=0)[:log_n4]
-    oko, state = pc.verify(proof.witness_root, base_pt, opening, params,
-                           state)
+    if isinstance(opening, elastic.ElasticOpening):
+        oko, state = elastic.verify(proof.witness_root, base_pt, opening,
+                                    params, state)
+    else:
+        oko, state = pc.verify(proof.witness_root, base_pt, opening,
+                               params, state)
     ok = ok and bool(oko)
     # one opening binds all three lanes: evaluate the transmitted
     # aggregate at each lane's x_lo
