@@ -11,17 +11,19 @@ Orchestrates the full pipeline of the reference's main proof flow
      prod(read) * prod(final) == prod(write) * prod(init);
   3. logUp-style lookup product argument over the lookup tables (when the
      circuit has lookup gates);
-  4. the streaming fold-phase gate-consistency sumcheck;
-  5. PC openings of the witness at the gate-consistency point (one per
-     L/R/O lane).
+  4. the streaming fold-phase gate-consistency sumcheck (lookup-aware
+     when the circuit has tables);
+  5. ONE witness PC opening at the gate-consistency point binding all
+     three L/R/O lane evaluations, plus (by default) a commitment to the
+     circuit-description polynomial whose opening binds the selector
+     evaluations (the prove_arbitrary_circuit path, main.cpp:812-852).
 
-Verifier status (round-1, documented): the PC openings bind the witness
-evaluations cryptographically; the wiring/lookup set evaluations and
-selector evaluations are checked by *transparent recomputation* from the
-circuit description (linear verifier — the same trust model as the
-reference's inline self-verifying checks that accumulate ``vt``).  Later
-rounds replace these with multi-point batched PC openings of the committed
-circuit-description polynomial.
+Verifier status (documented): witness and selector evaluations are bound
+cryptographically through the PC openings; the wiring/lookup RLC set
+evaluations and the lookup ``lkpO`` stream are checked by *transparent
+recomputation* (linear verifier — the same trust model as the reference's
+inline self-verifying checks that accumulate ``vt``).  ROADMAP.md item 3
+covers deriving those from the commitments too.
 """
 
 from __future__ import annotations
