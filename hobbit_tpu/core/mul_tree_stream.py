@@ -361,5 +361,112 @@ def verify(proof: StreamMulTreeProof, state, pc_rows: int = 4,
     return ok, point, claim, state
 
 
-__all__ = ["StreamMulTreeProof", "LevelProof", "flat_oracle",
-           "prove", "verify"]
+# ---------------------------------------------------------------------------
+# Distance-batched level descent (reference generate_claims[_opt] +
+# generate_3product_sumcheck_beta_stream_batch, sumcheck.cpp:1014-1621):
+# the bottom layers are grouped in batches of `distance`; every batch's
+# current level is proven in the SAME streaming pass, so the stream is
+# traversed 2*distance times instead of 2*layers.  Batch tops are bound by
+# Elastic layer commitments (commit_layers/open_layers); batch b's level-0
+# claim lands on batch (b-1)'s committed top (or the raw stream for b=0).
+# ---------------------------------------------------------------------------
+
+class BatchedLevelsProof(NamedTuple):
+    level_proofs: tuple      # distance tuples, each with `batches` LevelProofs
+    claims0: jnp.ndarray     # [batches, 2] the streamed top claims
+    batches: int
+    distance: int
+    chunk_size: int
+
+
+def prove_batched_levels(chunk_fn: Callable, total: int, layers: int,
+                         distance: int, r_top, state, B: int):
+    """Prove levels layers-1 .. 0 in `batches = layers/distance` groups.
+
+    chunk_fn(level, i, csize) as in ``prove``; r_top: the point binding
+    V_{layers} (from the in-memory top proof).  Batch b handles levels
+    b*distance + (distance-1 .. 0); its starting claim V_{(b+1)*distance}
+    at a truncation of r_top is computed BY STREAMING (generate_claims)
+    and must be bound by the caller via the level commitments.
+
+    Returns (BatchedLevelsProof, points, claims, state): per-batch final
+    (point, claim) on level b*distance (level 0 for b=0)."""
+    assert layers % distance == 0
+    batches = layers // distance
+    # batch b's top level L_b = (b+1)*distance needs log2(total) - L_b
+    # point bits; every batch top point is a PREFIX of r_ext = r_top ++
+    # fresh randomness (the reference's r_temp construction,
+    # sumcheck.cpp:1869-1877), so batch batches-1 lands exactly on r_top
+    # and its streamed claim must equal the top proof's final_eval.
+    state, fresh = mimc.squeeze(state, layers - distance)
+    r_ext = jnp.concatenate([r_top, fresh], axis=0)
+    points, claims = [], []
+    for b in range(batches):
+        Lb = (b + 1) * distance
+        bits = int(np.log2(total)) - Lb
+        pt = r_ext[:bits]
+        # streamed claim: V_{Lb}~(pt) (generate_claims; prover-side)
+        size_l = total >> Lb
+        beta = poly.beta_table(pt)
+        acc = F.scalar(0)
+        csize = min(2 * B, size_l)
+        for i in range(size_l // csize):
+            c = chunk_fn(Lb, i, csize)
+            acc = F.fadd(acc, F.fdot(beta[i * csize:(i + 1) * csize], c))
+        points.append(pt)
+        claims.append(acc)
+    claims0 = jnp.stack(claims)
+    state = mimc.absorb(state, claims0)
+
+    level_rounds = []
+    for i in range(distance - 1, -1, -1):
+        round_proofs = []
+        for b in range(batches):
+            l = b * distance + i
+            K = total // ((1 << (l + 1)) * B)
+            if K < 1:
+                K = 1
+            lp, pt, cl, state = _prove_level(
+                lambda k, l=l: chunk_fn(l, k, 2 * B), K, B,
+                points[b], claims[b], state)
+            round_proofs.append(lp)
+            points[b], claims[b] = pt, cl
+        level_rounds.append(tuple(round_proofs))
+
+    proof = BatchedLevelsProof(
+        level_proofs=tuple(level_rounds), claims0=claims0,
+        batches=batches, distance=distance, chunk_size=B)
+    return proof, list(points), list(claims), state
+
+
+def verify_batched_levels(proof: BatchedLevelsProof, total: int, r_top,
+                          state):
+    """Replay; returns (ok, points, claims, state).  The caller binds
+    claims0 against the committed batch-top layers and the final claims
+    against level b*distance (the raw stream for b=0)."""
+    ok = jnp.array(True)
+    batches, distance = proof.batches, proof.distance
+    layers = batches * distance
+    B = proof.chunk_size
+    state, fresh = mimc.squeeze(state, layers - distance)
+    r_ext = jnp.concatenate([r_top, fresh], axis=0)
+    points, claims = [], []
+    for b in range(batches):
+        Lb = (b + 1) * distance
+        bits = int(np.log2(total)) - Lb
+        points.append(r_ext[:bits])
+        claims.append(proof.claims0[b])
+    state = mimc.absorb(state, proof.claims0)
+
+    for ri, i in enumerate(range(distance - 1, -1, -1)):
+        for b in range(batches):
+            okl, pt, cl, state = _verify_level(
+                proof.level_proofs[ri][b], B, points[b], claims[b], state)
+            ok = jnp.logical_and(ok, okl)
+            points[b], claims[b] = pt, cl
+    return ok, points, claims, state
+
+
+__all__ = ["StreamMulTreeProof", "LevelProof", "BatchedLevelsProof",
+           "flat_oracle", "prove", "verify",
+           "prove_batched_levels", "verify_batched_levels"]

@@ -85,3 +85,40 @@ def test_stream_mul_tree_tamper_rejected():
     bad = proof._replace(level_proofs=(bad_level,) + proof.level_proofs[1:])
     ok, _, _, _ = mts.verify(bad, mimc.fresh_state())
     assert not bool(ok)
+
+
+def test_batched_levels_descent():
+    """Distance-batched bottom levels: every batch proves its current
+    level in the same streaming pass; final claims bind to the stream."""
+    rng = np.random.default_rng(13)
+    vectors, size, B = 2, 512, 8      # total 1024, layers = log2(1024/16)=6
+    distance = 3                       # 2 batches of 3 levels
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+    total = vectors * size
+    layers = int(np.log2(total // (2 * B)))
+    assert layers == 6
+
+    # top in-memory tree over level `layers`
+    from hobbit_tpu.core import mul_tree
+    top_stream = mts._read_top(oracle, layers, total, B)
+    rows = [top_stream[i * (top_stream.shape[0] // vectors):
+                       (i + 1) * (top_stream.shape[0] // vectors)]
+            for i in range(vectors)]
+    top, state = mul_tree.prove(rows, mimc.fresh_state())
+
+    proof, pts, cls, _ = mts.prove_batched_levels(
+        oracle, total, layers, distance, top.final_point, state, B)
+    # the coarsest batch's streamed claim equals the top proof's final eval
+    assert bool(F.feq(proof.claims0[-1], top.final_eval))
+
+    vtop, vstate = mul_tree.prove(rows, mimc.fresh_state())  # replay state
+    ok, vpts, vcls, _ = mts.verify_batched_levels(
+        proof, total, top.final_point, vstate)
+    assert bool(ok)
+    # final claims: batch 0 on the raw stream, batch 1 on level `distance`
+    got0 = poly.evaluate_vector(flat, vpts[0])
+    assert bool(F.feq(vcls[0], got0))
+    lvl_d = mts.flat_oracle(flat)(distance, 0, total >> distance)
+    got1 = poly.evaluate_vector(lvl_d, vpts[1])
+    assert bool(F.feq(vcls[1], got1))
