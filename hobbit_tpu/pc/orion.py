@@ -87,9 +87,11 @@ def open(message, com: bd.BrakedownCommitment, x, params: OrionParams,
                    for g in range(n_groups)])
         for c in idx])
 
-    # indicator sumcheck: RLC of queried codeword positions -> one MLE claim
-    indicator = jnp.zeros((2 * params.cols, 2), dtype=jnp.uint64)
-    indicator = indicator.at[jnp.asarray(idx, dtype=jnp.int32), 0].set(1)
+    # query-weighted indicator sumcheck: s^i weights per query so per-column
+    # errors cannot cancel in the sum (PC_utils.cpp:203-210 semantics)
+    from .shockwave import _weighted_indicator
+    state, s = mimc.squeeze1(state)
+    indicator = _weighted_indicator(idx, s, 2 * params.cols)
     ind_proof, state = sc.prove_2product(acw, indicator, state)
     rho = ind_proof.challenges
 
@@ -137,20 +139,15 @@ def verify(root, x, opening: OrionOpening, params: OrionParams,
                                       opening.paths[qi, g]):
                 return False, state
 
-    # indicator claim: unique queried columns count once
-    seen = {}
-    for qi, c in enumerate(idx):
-        if c not in seen:
-            seen[c] = comb[qi]
-    claim = None
-    for v in seen.values():
-        claim = v if claim is None else F.fadd(claim, v)
+    # query-weighted indicator claim: sum_i s^i * comb_i over ALL queries
+    from .shockwave import _weighted_indicator
+    state, s = mimc.squeeze1(state)
+    spow = poly.powers(s, len(idx))
+    claim = F.fsum(F.fmul(spow, comb), axis=0)
     okp, rho, cur, state = sc.verify_product_sumcheck(opening.ind_proof,
                                                       claim, state, 2)
     ok = bool(okp)
-    indicator = jnp.zeros((2 * params.cols, 2), dtype=jnp.uint64)
-    indicator = indicator.at[
-        jnp.asarray(sorted(set(idx)), jnp.int32), 0].set(1)
+    indicator = _weighted_indicator(idx, s, 2 * params.cols)
     ok = ok and bool(F.feq(opening.ind_proof.final_evals[1],
                            poly.evaluate_vector(indicator, rho)))
 

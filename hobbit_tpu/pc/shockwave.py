@@ -60,6 +60,16 @@ class ShockwaveOpening(NamedTuple):
 WHIR_THRESHOLD = 1 << 8      # recurse into WHIR above this (Virgo.cpp:479)
 
 
+def _weighted_indicator(idx, s, domain: int):
+    """[domain, 2] field vector with indicator[c] = sum_{i: idx[i]=c} s^i."""
+    q = len(idx)
+    spow = poly.powers(s, q)                              # [q, 2]
+    idx_arr = jnp.asarray(idx, dtype=jnp.int32)
+    onehot = jnp.arange(domain, dtype=jnp.int32)[None, :] == idx_arr[:, None]
+    contrib = jnp.where(onehot[:, :, None], spow[:, None, :], jnp.uint64(0))
+    return F.fsum(contrib, axis=0)
+
+
 def _column_roots(encoded):
     """Mini-MT root per column: [2*cols, 8].  Column = k values -> k/4 leaf
     digests -> tree root (vectorized across all columns at once)."""
@@ -106,8 +116,13 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     reply = cols_vals[jnp.asarray(idx, dtype=jnp.int32)]   # [q, k, 2]
     paths = merkle.open_leaves(data.outer, idx)
 
-    indicator = jnp.zeros((2 * cols, 2), dtype=jnp.uint64)
-    indicator = indicator.at[jnp.asarray(idx, dtype=jnp.int32), 0].set(1)
+    # query-weighted indicator: indicator[c] = sum of s^i over queries i
+    # hitting column c (reference aggregates queried codewords with random
+    # weights s^i, PC_utils.cpp:203-210).  An UNWEIGHTED indicator lets
+    # per-column errors cancel in the plain sum (a codeword difference
+    # taking +-a values passes w.p. ~1/sqrt(q) per FS grind).
+    state, s = mimc.squeeze1(state)
+    indicator = _weighted_indicator(idx, s, 2 * cols)
     p1, state = sc.prove_2product(aggr_tensor, indicator, state)
     p2, _, state = fsc.prove_fft(aggr, p1.challenges, state)
 
@@ -155,22 +170,17 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
                                   opening.paths[qi]):
             return False, state
 
-    # indicator-sumcheck claim = sum over unique queried columns of the
-    # beta-combined replies (duplicates count once)
+    # query-weighted indicator-sumcheck claim: sum_i s^i * comb_i over ALL
+    # queries (the s^i weights stop cross-column error cancellation)
     comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
-    seen = {}
-    for qi, col in enumerate(idx):
-        if col not in seen:
-            seen[col] = comb[qi]
-    claim = None
-    for v in seen.values():
-        claim = v if claim is None else F.fadd(claim, v)
+    state, s = mimc.squeeze1(state)
+    spow = poly.powers(s, len(idx))
+    claim = F.fsum(F.fmul(spow, comb), axis=0)
     okp, point, cur, state = sc.verify_product_sumcheck(opening.p1, claim,
                                                        state, 2)
     ok = ok and bool(okp)
     # indicator final eval check (verifier recomputes its MLE)
-    indicator = jnp.zeros((2 * cols, 2), dtype=jnp.uint64)
-    indicator = indicator.at[jnp.asarray(list(set(idx)), jnp.int32), 0].set(1)
+    indicator = _weighted_indicator(idx, s, 2 * cols)
     want_ind = poly.evaluate_vector(indicator, point)
     ok = ok and bool(F.feq(opening.p1.final_evals[1], want_ind))
 

@@ -16,7 +16,12 @@ The univariate sumcheck (Aurora/Virgo) decomposes
     u(X) chi_hat(X) = q(X) (X^n - 1) + X p(X) + y/n ,
 the prover commits q and p on L, the verifier spot-checks the identity at
 FRI query positions and an RLC'd FRI low-degree test over
-w = u + alpha q + alpha^2 p binds the degrees.  chi_hat at query points is
+w = u + alpha q + alpha^2 p + alpha^3 (X p) binds the degrees.  The
+shifted term X*p(X) shares p's commitment (pointwise s*p(s) on the
+domain) and is what enforces deg(p) <= n-2 individually: the joint FRI
+bound deg < n on X*p pins p below n-1, closing the q' = q - d,
+p' = p + d X^(n-1) forgery that a bound on p alone would admit.
+chi_hat at query points is
 computed transparently (one IFFT + Horner per query — the linear-verifier
 model; the reference offloads this to its FFT-GKR tool).
 
@@ -94,6 +99,14 @@ def _domain_point(domain_log: int, eta_log: int, i: int):
     w = F.root_of_unity(domain_log)
     return jnp.asarray(np.array(
         F.py_fmul(_eta_pow(eta_log), F.py_fpow(w, i)), dtype=np.uint64))
+
+
+@functools.lru_cache(maxsize=None)
+def _domain_points(domain_log: int, eta_log: int = 0):
+    """[L, 2] all points eta^(2^eta_log) * w^i of the level domain."""
+    w = jnp.asarray(np.array(F.root_of_unity(domain_log), dtype=np.uint64))
+    eta = jnp.asarray(np.array(_eta_pow(eta_log), dtype=np.uint64))
+    return F.fmul(poly.powers(w, 1 << domain_log), eta[None, :])
 
 
 def _pair_leaves(cw):
@@ -330,8 +343,14 @@ def vpd_open(coeffs, com: VpdCommitment, x, state,
     state = mimc.absorb(state, p_tree.root.astype(jnp.uint64).reshape(4, 2))
     state, alpha = mimc.squeeze1(state)
     a2 = F.fmul(alpha, alpha)
-    w_cw = F.fadd(com.u_cw, F.fadd(F.fmul(alpha[None, :], q_cw),
-                                   F.fmul(a2[None, :], p_cw)))
+    a3 = F.fmul(a2, alpha)
+    # X*p(X) on the domain = pointwise s * p(s); shares p's commitment but
+    # carries the individual deg(p) <= n-2 bound (see module docstring)
+    dom = _domain_points(dl)
+    xp_cw = F.fmul(dom, p_cw)
+    w_cw = F.fadd(F.fadd(com.u_cw, F.fmul(alpha[None, :], q_cw)),
+                  F.fadd(F.fmul(a2[None, :], p_cw),
+                         F.fmul(a3[None, :], xp_cw)))
 
     fri, state = fri_prove(w_cw, state, queries=queries)
 
@@ -361,6 +380,7 @@ def vpd_verify(root, x, opening: VpdOpening, n: int, state,
     state = mimc.absorb(state, opening.p_root.astype(jnp.uint64).reshape(4, 2))
     state, alpha = mimc.squeeze1(state)
     a2 = F.fmul(alpha, alpha)
+    a3 = F.fmul(a2, alpha)
 
     # chi_hat coefficients (transparent O(n log n))
     chi = chi_table(x)
@@ -392,8 +412,9 @@ def vpd_verify(root, x, opening: VpdOpening, n: int, state,
             lhs = F.fmul(u_s, g_s)
             rhs = F.fadd(F.fadd(F.fmul(q_s, zh), F.fmul(s, p_s)), y_over_n)
             ok = ok and bool(F.feq(lhs, rhs))
-            wp.append(F.fadd(u_s, F.fadd(F.fmul(alpha, q_s),
-                                         F.fmul(a2, p_s))))
+            wp.append(F.fadd(F.fadd(u_s, F.fmul(alpha, q_s)),
+                             F.fadd(F.fmul(a2, p_s),
+                                    F.fmul(a3, F.fmul(s, p_s)))))
         w_pairs.append(jnp.stack(wp))
     w_pairs = jnp.stack(w_pairs)
 

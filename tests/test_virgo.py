@@ -70,3 +70,74 @@ def test_vpd_roundtrip():
     okb, _ = virgo.vpd_verify(com.root, x, bad, n, mimc.fresh_state(),
                               queries=8)
     assert not bool(okb)
+
+
+def test_vpd_degree_shift_forgery_rejected():
+    """Soundness regression: without an individual deg(p) <= n-2 bound a
+    prover can shift p' = p + d*X^(n-1), q' = q - d and claim
+    y' = y - n*d (the identity still balances).  The alpha^3 * (X p) term
+    in the FRI RLC must reject this (X p' has degree n)."""
+    from hobbit_tpu.ops import fft as fftm
+    from hobbit_tpu.ops import merkle
+
+    rng = np.random.default_rng(7)
+    n = 64
+    ln = int(np.log2(n))
+    dl = ln + virgo.RATE_BITS
+    coeffs = _rf(rng, n)
+    com = virgo.vpd_commit(coeffs)
+    x = _rf(rng, ln)
+
+    # --- forging prover: replay vpd_open with perturbed (q, p, y) ---------
+    chi = virgo.chi_table(x)
+    y = F.fdot(coeffs, chi)
+    u_coeffs = fftm.ifft(coeffs)
+    g_coeffs = fftm.ifft(chi)
+    big = 1 << (ln + 1)
+    ue = fftm.fft(jnp.concatenate(
+        [u_coeffs, jnp.zeros((big - n, 2), jnp.uint64)]))
+    ge = fftm.fft(jnp.concatenate(
+        [g_coeffs, jnp.zeros((big - n, 2), jnp.uint64)]))
+    m_coeffs = fftm.ifft(F.fmul(ue, ge))
+    q_c, r_c = virgo._decompose(m_coeffs, n)
+    p_c = r_c[1:]
+
+    d = F.scalar(5)
+    q_c = q_c.at[0].set(np.asarray(F.fsub(q_c[0], d)))
+    p_c = jnp.concatenate(
+        [p_c, jnp.zeros((n - 1 - p_c.shape[0], 2), jnp.uint64)]) \
+        if p_c.shape[0] < n - 1 else p_c[: n - 1]
+    p_c = p_c.at[n - 2].set(np.asarray(F.fadd(p_c[n - 2], d)))
+    y_f = F.fsub(y, F.fmul(F.scalar(n), d))
+
+    q_cw = virgo.coset_eval(q_c, dl)
+    p_cw = virgo.coset_eval(p_c, dl)
+    q_tree = virgo.commit_codeword(q_cw)
+    p_tree = virgo.commit_codeword(p_cw)
+
+    state = mimc.fresh_state()
+    state = mimc.absorb(state, y_f)
+    state = mimc.absorb(state, q_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state = mimc.absorb(state, p_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state, alpha = mimc.squeeze1(state)
+    a2 = F.fmul(alpha, alpha)
+    a3 = F.fmul(a2, alpha)
+    dom = virgo._domain_points(dl)
+    w_cw = F.fadd(F.fadd(com.u_cw, F.fmul(alpha[None, :], q_cw)),
+                  F.fadd(F.fmul(a2[None, :], p_cw),
+                         F.fmul(a3[None, :], F.fmul(dom, p_cw))))
+    fri, state = virgo.fri_prove(w_cw, state, queries=8)
+
+    lid = [int(v) for v in np.asarray(fri.query_idx, dtype=np.int64)]
+    opening = virgo.VpdOpening(
+        eval_claim=y_f, q_root=q_tree.root, p_root=p_tree.root, fri=fri,
+        u_pairs=virgo._pair_leaves(com.u_cw)[jnp.asarray(lid, jnp.int32)],
+        u_paths=merkle.open_leaves(com.tree, lid),
+        q_pairs=virgo._pair_leaves(q_cw)[jnp.asarray(lid, jnp.int32)],
+        q_paths=merkle.open_leaves(q_tree, lid),
+        p_pairs=virgo._pair_leaves(p_cw)[jnp.asarray(lid, jnp.int32)],
+        p_paths=merkle.open_leaves(p_tree, lid),
+    )
+    ok, _ = virgo.vpd_verify(com.root, x, opening, n, mimc.fresh_state(),
+                             queries=8)
+    assert not bool(ok)
