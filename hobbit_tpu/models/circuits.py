@@ -42,6 +42,17 @@ class Builder:
         self.next_label = num_inputs
         self._buckets: List[List[trc.Level]] = []   # per-depth emissions
         self._wire_depth = np.zeros(max(num_inputs, 1), dtype=np.int64)
+        self._floor = 0
+
+    def barrier(self):
+        """Force subsequent emissions BELOW everything emitted so far.
+
+        ASAP packing otherwise floats independent gates up into the same
+        wide level; barriers give circuits a block structure whose live
+        width — and therefore the streaming executor's slot memory — is
+        O(block), the levelized analog of the reference producer's
+        gate-by-gate ``delete_gate`` reclamation (Seval.cpp:119-222)."""
+        self._floor = len(self._buckets)
 
     def _emit(self, types, idx_l, idx_r):
         types = np.asarray(types, dtype=np.uint8)
@@ -51,8 +62,9 @@ class Builder:
         idx_o = np.arange(self.next_label, self.next_label + m, dtype=np.int64)
         self.next_label += m
         # ASAP schedule: this emission's depth = 1 + max operand depth
-        depth = int(max(self._wire_depth[idx_l].max(initial=-1),
-                        self._wire_depth[idx_r].max(initial=-1))) + 1
+        depth = max(int(max(self._wire_depth[idx_l].max(initial=-1),
+                            self._wire_depth[idx_r].max(initial=-1))) + 1,
+                    self._floor)
         if len(self._wire_depth) < self.next_label:
             grow = np.zeros(self.next_label - len(self._wire_depth),
                             dtype=np.int64)
@@ -202,18 +214,34 @@ def fun3_range_proof_bits(log_n: int, bits: int = 8) -> trc.CircuitProgram:
     return b.build()
 
 
-def fun6_sql_range_query(log_n: int, bits: int = 8) -> trc.CircuitProgram:
+def fun6_sql_range_query(log_n: int, bits: int = 8,
+                         block_rows: Optional[int] = None
+                         ) -> trc.CircuitProgram:
     """SQL range query: for each row value v, compute (low < v) * (v < high)
-    via LTU lookups against bound wires, and sum the selector bits."""
+    via LTU lookups against bound wires, and sum the selector bits.
+
+    ``block_rows``: process rows in blocks of that many, chaining a running
+    count across blocks with barriers between them.  Live width (and hence
+    the streaming executor's slot memory) becomes O(block_rows) instead of
+    O(n) — the deep-and-narrow shape of the reference's row loop
+    (Seval.cpp:1085-1168), widened just enough to keep the TPU's vector
+    units fed."""
     n = 1 << log_n
     b = Builder(num_inputs=n + 2, tables=[ltu_table(bits), eq_table(bits)])
-    rows = np.arange(n, dtype=np.int64)
-    low = np.full(n, n, dtype=np.int64)       # input wire n
-    high = np.full(n, n + 1, dtype=np.int64)  # input wire n+1
-    gt_low = b.lookup(0, low, rows)           # low < v
-    lt_high = b.lookup(0, rows, high)         # v < high
-    sel = b.mul(gt_low, lt_high)
-    b.sum_tree(sel)
+    low1 = np.asarray([n], dtype=np.int64)        # input wire n
+    high1 = np.asarray([n + 1], dtype=np.int64)   # input wire n+1
+    R = block_rows or n
+    acc = None
+    for s in range(0, n, R):
+        m = min(R, n - s)
+        rows = np.arange(s, s + m, dtype=np.int64)
+        gt_low = b.lookup(0, np.broadcast_to(low1, m), rows)   # low < v
+        lt_high = b.lookup(0, rows, np.broadcast_to(high1, m)) # v < high
+        sel = b.mul(gt_low, lt_high)
+        part = np.asarray([b.sum_tree(sel)], dtype=np.int64)
+        acc = part if acc is None else b.add(acc, part)
+        if block_rows is not None:
+            b.barrier()
     return b.build()
 
 

@@ -78,17 +78,26 @@ def transpose_edges(edges: ExpanderEdges) -> ExpanderEdges:
     )
 
 
-_TRANSPOSE_CACHE: dict = {}
+import collections
+
+_TRANSPOSE_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_TRANSPOSE_CACHE_MAX = 64
 
 
 def _transposed(edges: ExpanderEdges) -> ExpanderEdges:
     # keyed by id() — the cache also stores the edges object itself so the
-    # id can never be recycled for a different graph (stale-transpose bug)
+    # id can never be recycled for a different graph (stale-transpose bug);
+    # bounded LRU so stale graphs can be freed (NamedTuples of jax arrays
+    # support neither weakrefs nor hashing, so id+pin+LRU it is)
     key = id(edges)
     hit = _TRANSPOSE_CACHE.get(key)
     if hit is None or hit[0] is not edges:
         hit = (edges, transpose_edges(edges))
         _TRANSPOSE_CACHE[key] = hit
+        if len(_TRANSPOSE_CACHE) > _TRANSPOSE_CACHE_MAX:
+            _TRANSPOSE_CACHE.popitem(last=False)
+    else:
+        _TRANSPOSE_CACHE.move_to_end(key)
     return hit[1]
 
 
