@@ -56,54 +56,83 @@ def _pad_inputs(vectors: Sequence[jnp.ndarray]):
     return jnp.stack(rows), size, V
 
 
-def prove(vectors: Sequence[jnp.ndarray], state):
-    return _prove_jit(tuple(vectors), state)
+@maybe_jit(static_argnums=(1,))
+def _build_tree(mat, V: int):
+    """Tree levels (top-down lists) + output row; one small compiled kernel
+    (log-depth pairwise multiplies)."""
+    total = mat.reshape(-1, 2)
+    in1s, in2s = [], []
+    cur = total
+    while cur.shape[0] > V:
+        in1s.append(cur[0::2])
+        in2s.append(cur[1::2])
+        cur = F.fmul(cur[0::2], cur[1::2])
+    return tuple(in1s), tuple(in2s), cur
 
 
 @maybe_jit
-def _prove_jit(vectors, state):
+def _open_top(output, state):
+    state = mimc.absorb(state, output)
+    V = output.shape[0]
+    if V > 1:
+        state, r = mimc.squeeze(state, int(np.log2(V)))
+        out_eval = poly.evaluate_vector(output, r)
+    else:
+        r = jnp.zeros((0, 2), dtype=jnp.uint64)
+        out_eval = output[0]
+    state = mimc.absorb(state, out_eval)
+    return r, out_eval, state
+
+
+@maybe_jit
+def _level_step(in1, in2, point, claim, state):
+    """One tree level: beta table + 3-product sumcheck + claim chaining.
+
+    Compiled per (level size, point length) — small independent kernels
+    instead of one monolithic graph (XLA compile time is superlinear in
+    graph size; the unrolled whole-tree jit took minutes per shape)."""
+    beta = poly.beta_table(point)
+    proof, state = sc.prove_3product(in1, in2, beta, state)
+    state, c = mimc.squeeze1(state)
+    v1, v2 = proof.final_evals[0], proof.final_evals[1]
+    claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
+    point = jnp.concatenate([c[None, :], proof.challenges], axis=0)
+    return proof, c, point, claim, state
+
+
+@maybe_jit(static_argnums=(2,))
+def _partials(mat, ind_r, V: int, state):
+    partial = jnp.stack([poly.evaluate_vector(mat[j], ind_r)
+                         for j in range(V)])
+    state = mimc.absorb(state, partial)
+    return partial, state
+
+
+def prove(vectors: Sequence[jnp.ndarray], state):
     """Prove products of each vector; returns (MulTreeProof, state).
 
     Padding deviation from the reference: we pad missing batch rows with
     ones (product 1) rather than zeros, so the padded outputs stay
     meaningful; sizes pad with ones as the reference does.
     """
-    mat, size, V = _pad_inputs(vectors)
+    mat, size, V = _pad_inputs(tuple(vectors))
     depth = int(np.log2(size))
-    total = mat.reshape(V * size, 2)
+    in1s, in2s, output = _build_tree(mat, V)
 
-    # Build tree: in1/in2/outputs per level (level 0 = leaves pairs).
-    in1s, in2s = [], []
-    cur = total
-    for _ in range(depth):
-        in1s.append(cur[0::2])
-        in2s.append(cur[1::2])
-        cur = F.fmul(cur[0::2], cur[1::2])
-    output = cur  # [V, 2]
-
-    state = mimc.absorb(state, output)
-    state, r = mimc.squeeze(state, int(np.log2(V))) if V > 1 else (state, F.zeros((0,)).reshape(0, 2))
-    out_eval = poly.evaluate_vector(output, r) if V > 1 else output[0]
-    state = mimc.absorb(state, out_eval)
+    r, out_eval, state = _open_top(output, state)
 
     layer_proofs = []
     mixes = []
     point = r
     claim = out_eval
     for i in range(depth - 1, -1, -1):
-        beta = poly.beta_table(point)
-        proof, state = sc.prove_3product(in1s[i], in2s[i], beta, state)
-        state, c = mimc.squeeze1(state)
+        proof, c, point, claim, state = _level_step(
+            in1s[i], in2s[i], point, claim, state)
         layer_proofs.append(proof)
         mixes.append(c)
-        v1, v2 = proof.final_evals[0], proof.final_evals[1]
-        claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
-        point = jnp.concatenate([c[None, :], proof.challenges], axis=0)
 
     ind_r = point[: depth]          # bits binding within-vector index
-    glob_r = point[depth:]          # bits binding vector index
-    partial = jnp.stack([poly.evaluate_vector(mat[j], ind_r) for j in range(V)])
-    state = mimc.absorb(state, partial)
+    partial, state = _partials(mat, ind_r, V, state)
 
     return MulTreeProof(
         output=output,

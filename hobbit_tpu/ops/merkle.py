@@ -138,18 +138,19 @@ def open_leaf(tree: MerkleTree, index: int):
 
 
 def open_leaves(tree: MerkleTree, indices):
-    """Batch open: [q, depth, 8].  One host gather per level (device
-    round-trips per leaf per level are the naive version's cost)."""
+    """Batch open: [q, depth, 8].  One DEVICE gather per level — the
+    sibling digests are picked on-device and only the [q, depth, 8] result
+    ever crosses the link (pulling whole tree levels to the host costs
+    O(tree) transfer, fatal on remote-attached chips)."""
     idx = np.asarray([int(i) for i in indices], dtype=np.int64)
     if not tree.levels[:-1]:
         return jnp.zeros((len(idx), 0, 8), dtype=jnp.uint32)
     rows = []
     pos = idx
     for level in tree.levels[:-1]:
-        lv = np.asarray(level)
-        rows.append(lv[pos ^ 1])
+        rows.append(jnp.asarray(level)[jnp.asarray(pos ^ 1)])
         pos = pos // 2
-    return jnp.asarray(np.stack(rows, axis=1))
+    return jnp.stack(rows, axis=1)
 
 
 def verify_leaf(root, leaf_digest, index: int, path,
