@@ -143,25 +143,37 @@ def bench_e2e_sql(buffer_bits=19, log_n=17):
 
     Methodology: one warm-up run amortizes XLA compilation (the analog of
     the reference's ahead-of-time C++ build step), then the proof is timed.
-    Returns (warm_sec, cold_sec)."""
+    Returns (warm_sec, cold_sec, proof_kb, verifier_sec)."""
     import time as _t
     from hobbit_tpu.config import HobbitConfig
     from hobbit_tpu.core import prover
     from hobbit_tpu.models import circuits as C
+    from hobbit_tpu.utils import metrics
     try:
         cfg = HobbitConfig(buffer_bits=buffer_bits)
         prog = C.fun6_sql_range_query(log_n)
         x = C.random_inputs(prog, seed=3, small=256)
+        # circuit-description commitment: input-independent preprocessing
+        # (public input of verification), excluded from Pt like the
+        # reference's non-arbitrary prove_circuit path
+        ccom, _ = prover.commit_circuit(prog, cfg, pc_rows=256)
         t0 = _t.time()
-        prover.prove(prog, x, cfg, pc_K=4, pc_rows=256)   # compile + warm
+        prover.prove(prog, x, cfg, pc_rows=256,
+                     circuit_com=ccom)                    # compile + warm
         cold = _t.time() - t0
         t0 = _t.time()
-        proof, _ = prover.prove(prog, x, cfg, pc_K=4, pc_rows=256)
-        return _t.time() - t0, cold
+        proof, _ = prover.prove(prog, x, cfg, pc_rows=256,
+                                circuit_com=ccom)
+        warm = _t.time() - t0
+        ps_kb = metrics.proof_size_kb(proof)
+        t0 = _t.time()
+        prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)
+        vt = _t.time() - t0
+        return warm, cold, ps_kb, vt
     except Exception:
         import traceback
         traceback.print_exc(file=sys.stderr)
-        return None, None
+        return None, None, None, None
 
 
 def main():
@@ -172,9 +184,9 @@ def main():
     encode_rate = bench_tensor_encode(rng)
     spielman_rate = bench_spielman_encode(rng)
 
-    e2e_sec = e2e_cold = None
+    e2e_sec = e2e_cold = e2e_ps = e2e_vt = None
     if os.environ.get("HOBBIT_BENCH_E2E", "1") != "0":
-        e2e_sec, e2e_cold = bench_e2e_sql()
+        e2e_sec, e2e_cold, e2e_ps, e2e_vt = bench_e2e_sql()
 
     baseline = None
     path = os.path.join(os.path.dirname(__file__), "baseline_numbers.json")
@@ -196,6 +208,8 @@ def main():
             "spielman_encode_coeffs_per_sec": spielman_rate,
             "sql_fun6_n17_prover_sec": e2e_sec,
             "sql_fun6_n17_cold_sec": e2e_cold,
+            "sql_fun6_n17_proof_kb": e2e_ps,
+            "sql_fun6_n17_verifier_sec": e2e_vt,
             "sql_fun6_n17_reference_sec": (
                 baseline or {}).get("sql_fun6_n17_prover_sec_cpu"),
             "e2e_note": ("full end-to-end proof (witness gen + commit + "

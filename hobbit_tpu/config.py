@@ -46,6 +46,10 @@ class HobbitConfig:
     mimc_rounds: int = 161
     shockwave_queries: int = 240
     whir_interleave_bits: int = 4   # 2^k = 16 interleaving
+    # PC query schedule: None = the reference schedule (700 streaming-RS /
+    # 5900 Spielman, Elastic_PC.cpp:626-629); tests override with small
+    # values for speed.
+    pc_queries: int = None
 
     @property
     def buffer_space(self) -> int:

@@ -85,19 +85,18 @@ def _open_top(output, state):
 
 
 @maybe_jit
-def _level_step(in1, in2, point, claim, state):
-    """One tree level: beta table + 3-product sumcheck + claim chaining.
-
-    Compiled per (level size, point length) — small independent kernels
-    instead of one monolithic graph (XLA compile time is superlinear in
-    graph size; the unrolled whole-tree jit took minutes per shape)."""
-    beta = poly.beta_table(point)
-    proof, state = sc.prove_3product(in1, in2, beta, state)
+def _level_step_padded(in1, in2, point_pad, n_active, state):
+    """One tree level on PADDED buffers: beta table + 3-product sumcheck +
+    mix challenge.  in1/in2 zero-padded to the tree's max level size,
+    point_pad zero-padded to log2(max) coords (zero coords leave the low
+    beta-table block intact and zero the rest), n_active traced — ONE
+    compiled executable serves every level of every tree up to this size
+    (19 per-level compiles at minutes each otherwise)."""
+    beta = poly.beta_table(point_pad)
+    proof, state = sc._product_sumcheck_scan_padded((in1, in2, beta),
+                                                    n_active, state)
     state, c = mimc.squeeze1(state)
-    v1, v2 = proof.final_evals[0], proof.final_evals[1]
-    claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
-    point = jnp.concatenate([c[None, :], proof.challenges], axis=0)
-    return proof, c, point, claim, state
+    return proof, c, state
 
 
 @maybe_jit(static_argnums=(2,))
@@ -121,13 +120,32 @@ def prove(vectors: Sequence[jnp.ndarray], state):
 
     r, out_eval, state = _open_top(output, state)
 
+    maxn = in1s[0].shape[0]
+    log_max = int(np.log2(maxn))
+    zrow = jnp.zeros((1, 2), dtype=jnp.uint64)
+
     layer_proofs = []
     mixes = []
     point = r
     claim = out_eval
     for i in range(depth - 1, -1, -1):
-        proof, c, point, claim, state = _level_step(
-            in1s[i], in2s[i], point, claim, state)
+        n_i = in1s[i].shape[0]
+        rounds_i = int(np.log2(n_i))
+        pad = maxn - n_i
+        in1p = jnp.concatenate(
+            [in1s[i], jnp.zeros((pad, 2), jnp.uint64)]) if pad else in1s[i]
+        in2p = jnp.concatenate(
+            [in2s[i], jnp.zeros((pad, 2), jnp.uint64)]) if pad else in2s[i]
+        ppad = jnp.concatenate(
+            [point] + [zrow] * (log_max - point.shape[0]), axis=0) \
+            if point.shape[0] < log_max else point
+        pf, c, state = _level_step_padded(in1p, in2p, ppad, n_i, state)
+        proof = sc.SumcheckProof(polys=pf.polys[:rounds_i],
+                                 challenges=pf.challenges[:rounds_i],
+                                 final_evals=pf.final_evals)
+        v1, v2 = proof.final_evals[0], proof.final_evals[1]
+        claim = F.fadd(F.fmul(F.fsub(F.scalar(1), c), v1), F.fmul(c, v2))
+        point = jnp.concatenate([c[None, :], proof.challenges], axis=0)
         layer_proofs.append(proof)
         mixes.append(c)
 

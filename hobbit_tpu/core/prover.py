@@ -1,29 +1,37 @@
-"""Top-level HOBBIT prover driver: the ``prove_circuit`` path.
+"""Top-level HOBBIT prover driver: the ``prove_circuit`` path (protocol v2).
 
 Orchestrates the full pipeline of the reference's main proof flow
-(``main.cpp:862-983``):
+(``main.cpp:862-983`` + the committed-circuit ``prove_arbitrary_circuit``
+variant ``main.cpp:812-852``), re-designed around LANE-interleaved
+committed polynomials so the verifier is succinct — it never executes the
+circuit and derives every protocol stream evaluation LINEARLY from PC
+openings:
 
-  1. commit the witness polynomial (4N layout: per gate slot
-     (v_l, v_r, v_o, .) with the 4th lane carrying per-wire final values —
-     the reference's 4*circuit_size witness stream);
-  2. wiring-consistency product argument: offline-memory-checking multisets
-     proven with the multiplication-tree argument + the permutation identity
-     prod(read) * prod(final) == prod(write) * prod(init);
-  3. logUp-style lookup product argument over the lookup tables (when the
-     circuit has lookup gates);
-  4. the streaming fold-phase gate-consistency sumcheck (lookup-aware
-     when the circuit has tables);
-  5. ONE witness PC opening at the gate-consistency point binding all
-     three L/R/O lane evaluations, plus (by default) a commitment to the
-     circuit-description polynomial whose opening binds the selector
-     evaluations (the prove_arbitrary_circuit path, main.cpp:812-852).
+  wpoly [4*np2]   per-gate lanes (L, R, O, 0)      — streaming commit
+  fpoly [np2]     death-order final wire values    — streaming commit
+  cpoly [16*np2]  static circuit description       — public preprocessing
+                  (selectors, table ids, wiring indices, access counters,
+                  death-order wire metadata); its root is a public input
+                  computed once per circuit by ``commit_circuit``
+  lpoly [4*np2]   lookup lanes (Lm, Rm, Om, rankm), masked to lookup gates
+  tpoly [TS]      final lookup access counts
 
-Verifier status (documented): witness and selector evaluations are bound
-cryptographically through the PC openings; the wiring/lookup RLC set
-evaluations and the lookup ``lkpO`` stream are checked by *transparent
-recomputation* (linear verifier — the same trust model as the reference's
-inline self-verifying checks that accumulate ``vt``).  ROADMAP.md item 3
-covers deriving those from the commitments too.
+Protocol phases (each O(B)-resident when the oracle streams):
+  1. commitments (one streaming pass each);
+  2. wiring-consistency product argument over the 4-slot-stride multisets
+     (reads | writes | init | final), proven with the streaming mul-tree;
+     the level-0 claim is bound to wpoly/fpoly/cpoly lane evaluations;
+  3. lookup product argument over (reads | writes | table-init |
+     table-final); bound to lpoly/cpoly/tpoly + public table MLEs;
+  4. fold-phase gate-consistency sumcheck with the v2 identity
+       sa*(L+R-O) + sm*(L*R-O) = 0
+     plus masked-lane consistency Lm = lkp*L, Rm = lkp*R, Om = lkp*O
+     (the reference's lkpO stream and lr0/lr1 weights disappear — the
+     masked lanes are committed directly);
+  5. multi-point PC openings (shared query replies per commitment).
+
+Verifier cost: transcript replay + openings + O(TS) public-table work —
+no circuit execution (closes the binding intent of main.cpp:812-852).
 """
 
 from __future__ import annotations
@@ -38,412 +46,654 @@ import jax.numpy as jnp
 from ..config import HobbitConfig
 from ..ops import field as F
 from ..ops import mimc, poly
+from ..pc import elastic
 from ..pc import standard as pc
 from ..streams import trace as trc
 from ..streams import views
+from ..streams import wiring as ws
+from . import fold_stream as fs
 from . import gate_consistency as gc
-from . import mul_tree
 from . import mul_tree_stream as mts
 
 
 class CircuitProof(NamedTuple):
     witness_root: jnp.ndarray
-    wiring_proof: object             # MulTreeProof | StreamMulTreeProof
+    final_root: jnp.ndarray
+    lookup_root: Optional[jnp.ndarray]
+    counts_root: Optional[jnp.ndarray]
+    wiring_proof: object             # StreamMulTreeProof
     lookup_proof: Optional[object]
     gc_proof: object                 # GateConsistencyProof | FoldStreamProof
-    openings: tuple                  # 1 x pc.TensorOpening (all 3 lanes)
+    w_open: object                   # ElasticMultiOpening of wpoly
+    f_open: object                   # of fpoly
+    c_open: object                   # of cpoly
+    l_open: Optional[object]
+    t_open: Optional[object]
     num_gates: int
-    num_chunks: int
-    chunk_size: int
-    lookup_mode: bool                # lookup-aware gate consistency used
-    circuit_root: Optional[jnp.ndarray]   # committed circuit description
-    circuit_opening: Optional[object]     # its opening at the gc point
+    lookup_mode: bool
     timings: dict
 
 
-def _set_matrix(sets):
-    """Pad product-argument sets to a common pow2 size (with ones) and
-    flatten [V, size] -> [V*size] (vector index in the HIGH bits)."""
-    size = 1 << int(np.ceil(np.log2(max(s.shape[0] for s in sets))))
-    rows = []
-    for s in sets:
-        if s.shape[0] < size:
-            s = jnp.concatenate([s, F.ones((size - s.shape[0],))], axis=0)
-        rows.append(s)
-    return jnp.concatenate(rows, axis=0), len(sets), size
+class Geometry(NamedTuple):
+    np2: int
+    size_l: int          # lookup set size (pow2 >= max(np2, TS))
+    table_size: int      # per-table padded size
+    num_tables: int
+    TS: int              # num_tables * table_size
+    B_gc: int
+    K_gc: int
+
+    @property
+    def log_np2(self):
+        return int(np.log2(self.np2))
 
 
 def _pow2_above(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(2, n))))
 
 
-from ..utils.jitting import maybe_jit
+def geometry(program: trc.CircuitProgram, config: HobbitConfig) -> Geometry:
+    np2 = _pow2_above(max(program.num_gates, program.num_wires, 4))
+    if program.tables:
+        table_size = _pow2_above(max(len(t) for t in program.tables))
+        num_tables = len(program.tables)
+        # TS rounded to a power of two (extra entries are real table slots
+        # with value 0 and count 0 — they cancel between init and final)
+        TS = table_size << max(0, int(np.ceil(np.log2(num_tables))))
+        size_l = _pow2_above(max(np2, TS))
+    else:
+        table_size = num_tables = TS = 0
+        size_l = np2
+    B_gc = min(config.buffer_space, np2 // 2)
+    return Geometry(np2=np2, size_l=size_l, table_size=table_size,
+                    num_tables=num_tables, TS=TS, B_gc=B_gc,
+                    K_gc=np2 // B_gc)
 
 
-@maybe_jit
-def build_witness_poly(tr: trc.Trace):
-    """[4N', 2]: slot 4t+(0,1,2) = gate t's (v_l, v_r, v_o); slot 4t+3 =
-    final value of wire t (padded)."""
-    n = tr.num_gates
-    w = tr.num_wires
-    np2 = _pow2_above(max(n, w))
-    lane = jnp.zeros((np2, 4, 2), dtype=jnp.uint64)
-    lane = lane.at[:n, 0].set(tr.val_l)
-    lane = lane.at[:n, 1].set(tr.val_r)
-    lane = lane.at[:n, 2].set(tr.val_o)
-    lane = lane.at[:w, 3].set(tr.fin_val)
-    return lane.reshape(4 * np2, 2)
+def _pc_params(length: int, config: HobbitConfig,
+               pc_rows: Optional[int], queries: Optional[int] = None):
+    K = max(2, length // config.buffer_space)
+    B = length // K
+    rows = min(pc_rows or max(4, config.tensor_row_size), max(4, B // 4))
+    if queries is None:
+        queries = config.pc_queries
+    if queries is None:
+        # reference streaming schedule (Elastic_PC.cpp:626-629)
+        queries = 5900 if config.linear_time else 700
+    return pc.make_params(length, K, rows, linear_time=config.linear_time,
+                          queries=queries)
 
 
-def _padded_gate_chunks(oracle: trc.TraceOracle, B: int, K: int):
-    chunks = [views.gate_arrays(c) for c in oracle.gate_chunks(B)]
-    zero = views.GateArrays(*(jnp.zeros((B, 2), jnp.uint64) for _ in range(5)))
-    while len(chunks) < K:
-        chunks.append(zero)
-    return chunks[:K]
+def _chunked(vec, B: int):
+    """chunk_fn over a resident vector."""
+    return lambda i: vec[i * B:(i + 1) * B]
 
+
+def _absorb_root(state, root):
+    return mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
+
+
+# ---------------------------------------------------------------------------
+# Public preprocessing: the circuit-description commitment
+# ---------------------------------------------------------------------------
+
+def commit_circuit(program: trc.CircuitProgram, config: HobbitConfig,
+                   pc_rows: Optional[int] = None):
+    """Commit cpoly (input-independent; compute once per circuit).
+
+    Returns (commitment, params).  The root is a PUBLIC INPUT of
+    verification: both sides may recompute it from the circuit, or trust a
+    previously computed value (the reference's committed 16N "circuit"
+    stream, witness_stream.cpp:2123-2162 / main.cpp:821-852)."""
+    g = geometry(program, config)
+    length = 16 * g.np2
+    params = _pc_params(length, config, pc_rows)
+    gates_B = params.B // 16
+
+    def chunk_fn(i):
+        return views.circuit_lane_chunk(program, i * gates_B,
+                                        (i + 1) * gates_B)
+
+    com = elastic.commit_stream(chunk_fn, params)
+    return com, params
+
+
+# ---------------------------------------------------------------------------
+# Prover
+# ---------------------------------------------------------------------------
 
 def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
-          pc_K: int = 4, pc_rows: Optional[int] = None,
-          commit_circuit: bool = True):
-    """Run the full proof; returns (CircuitProof, state)."""
-    timings = {}
-    t0 = time.time()
-    oracle = trc.TraceOracle(program, inputs)
-    tr = oracle.trace()
-    timings["witness_gen"] = time.time() - t0
+          pc_rows: Optional[int] = None, streaming: Optional[bool] = None,
+          circuit_com=None):
+    """Run the full proof; returns (CircuitProof, state).
 
-    # ---- 1. witness commitment -----------------------------------------
-    # witness larger than the buffer: STREAMING Elastic commit (chunked
-    # tensorcode + chained Merkle leaves, O(B) resident — the reference's
-    # commit(fd_witness), Elastic_PC.cpp:174); else the in-memory PC.
+    streaming=None materializes the trace when it fits comfortably
+    (fast path) and streams otherwise; True forces O(B)-resident passes.
+    circuit_com: reuse of the ``commit_circuit`` output."""
+    g = geometry(program, config)
+    timings = {}
+    if streaming is None:
+        streaming = program.num_gates > 4 * config.buffer_space
+
     t0 = time.time()
-    wpoly = build_witness_poly(tr)
-    N4 = wpoly.shape[0]
-    rows = pc_rows or max(4, config.tensor_row_size)
-    # streaming commit when the witness exceeds the buffer, bounded to
-    # K <= 32 chunks (tiny-buffer test configs fall back to the in-memory
-    # PC; production buffers keep K small)
-    use_elastic = (N4 > 2 * config.buffer_space
-                   and N4 // config.buffer_space <= 32)
-    if use_elastic:
-        from ..pc import elastic
-        K_el = max(pc_K, N4 // config.buffer_space)
-        params = pc.make_params(N4, K_el, rows,
-                                linear_time=config.linear_time,
-                                queries=min(64, 790))
-        commitment = elastic.commit_stream(
-            lambda i: wpoly[i * params.B:(i + 1) * params.B], params)
-    else:
-        params = pc.make_params(N4, pc_K, rows,
-                                linear_time=config.linear_time,
-                                queries=min(64, 790))
-        commitment = pc.commit(wpoly, params)
+    oracle = trc.TraceOracle(program, inputs, materialize=not streaming)
+    lookup_mode = bool(program.tables)
+
+    if circuit_com is None:
+        circuit_com, _ = commit_circuit(program, config, pc_rows)
     state = mimc.fresh_state()
-    state = mimc.absorb(state,
-                        commitment.root.astype(jnp.uint64).reshape(4, 2))
+    state = _absorb_root(state, circuit_com.root)
+    timings["setup"] = time.time() - t0
+
+    # ---- 1. commitments --------------------------------------------------
+    t0 = time.time()
+    w_params = _pc_params(4 * g.np2, config, pc_rows)
+    f_params = _pc_params(g.np2, config, pc_rows)
+    w_gates = w_params.B // 4
+
+    if not streaming:
+        tr = oracle.trace()
+        tr_pad = trc._slice_pad(tr, 0, tr.num_gates, g.np2)
+        wpoly = views.witness_lane_chunk(tr_pad)
+        w_chunks = _chunked(wpoly, w_params.B)
+    else:
+        def w_chunks_gen():
+            got = 0
+            for tr_c in oracle.gate_chunks(w_gates):
+                got += 1
+                yield views.witness_lane_chunk(tr_c)
+            for _ in range(w_params.K - got):
+                yield jnp.zeros((w_params.B, 2), jnp.uint64)
+        w_chunks = _seq_chunks(w_chunks_gen, w_params.K)
+    w_com = elastic.commit_stream(w_chunks, w_params)
+    state = _absorb_root(state, w_com.root)
+
+    def f_chunks_gen():
+        n_chunks = g.np2 // f_params.B
+        got = 0
+        for idx, val, cnt, nv in oracle.final_chunks(f_params.B):
+            yield val
+            got += 1
+        for _ in range(n_chunks - got):
+            yield jnp.zeros((f_params.B, 2), jnp.uint64)
+    f_chunks = _seq_chunks(f_chunks_gen, f_params.K)
+    f_com = elastic.commit_stream(f_chunks, f_params)
+    state = _absorb_root(state, f_com.root)
+
+    l_com = t_com = None
+    l_params = t_params = None
+    counts = None
+    if lookup_mode:
+        l_params = _pc_params(4 * g.np2, config, pc_rows)
+        l_gates = l_params.B // 4
+        rank_state = views.LookupRankStream(g.num_tables, g.table_size)
+
+        def l_chunks_gen():
+            got = 0
+            for tr_c in oracle.gate_chunks(l_gates):
+                got += 1
+                ranks, _, _ = rank_state.chunk_ranks(tr_c)
+                yield views.lookup_lane_chunk(tr_c, ranks)
+            for _ in range(l_params.K - got):
+                yield jnp.zeros((l_params.B, 2), jnp.uint64)
+        l_chunks = _seq_chunks(l_chunks_gen, l_params.K)
+        l_com = elastic.commit_stream(l_chunks, l_params)
+        state = _absorb_root(state, l_com.root)
+        counts = rank_state.final_counts()
+
+        t_params = _pc_params(g.TS, config, pc_rows)
+        counts_p = jnp.pad(counts.astype(jnp.uint64),
+                           (0, g.TS - counts.shape[0]))
+        counts_f = jnp.stack([counts_p, jnp.zeros_like(counts_p)], axis=-1)
+        t_chunks = _chunked(counts_f, t_params.B)
+        t_com = elastic.commit_stream(t_chunks, t_params)
+        state = _absorb_root(state, t_com.root)
     timings["commit"] = time.time() - t0
 
-    # ---- 2. wiring consistency (memory checking + mul tree) -------------
-    # sets larger than 2B run the STREAMING mul-tree (O(B)-resident fold-
-    # phase descent, reference prove_multiplication_tree_stream_shallow).
+    # ---- 2. wiring consistency ------------------------------------------
     t0 = time.time()
     state, ab = mimc.squeeze(state, 2)
     a, b = ab[0], ab[1]
-    reads, writes = views.wiring_read_write_sets(tr, a, b)
-    init, fin = views.wiring_init_final_sets(tr, program.num_inputs, a, b)
-    wflat, wV, wsize = _set_matrix([reads, writes, init, fin])
     B0 = config.buffer_space
-    if wV * wsize > 2 * B0:
-        wiring_proof, _, _, state = mts.prove(
-            mts.flat_oracle(wflat), wV, wsize, state, B0)
+    if not streaming:
+        wflat = _materialized_wiring_flat(oracle, g, a, b)
+        w_oracle = mts.flat_oracle(wflat)
     else:
-        wiring_proof, state = mul_tree.prove(
-            [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
-             poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)], state)
+        w_oracle = ws.SequentialFoldOracle(
+            ws.wiring_stream_factory(oracle, g.np2, B0, a, b), 16 * g.np2)
+    wiring_proof, p_w, c_w, state = mts.prove(w_oracle, 4, 4 * g.np2,
+                                              state, B0)
     timings["wiring"] = time.time() - t0
 
     # ---- 3. lookups ------------------------------------------------------
-    lookup_proof = None
-    if program.tables:
+    lookup_proof = p_l = c_l = None
+    if lookup_mode:
         t0 = time.time()
-        table_size = max(len(t) for t in program.tables)
-        table_size = _pow2_above(table_size)
-        lr, lw, li, lf = views.lookup_sets(tr, program.tables, a, b,
-                                           table_size=table_size)
-        lflat, lV, lsize = _set_matrix([lr, lw, li, lf])
-        if lV * lsize > 2 * B0:
-            lookup_proof, _, _, state = mts.prove(
-                mts.flat_oracle(lflat), lV, lsize, state, B0)
+        if not streaming:
+            lflat = _materialized_lookup_flat(oracle, g, a, b)
+            l_oracle = mts.flat_oracle(lflat)
         else:
-            lookup_proof, state = mul_tree.prove(
-                [poly.pad_pow2(lr, 1), poly.pad_pow2(lw, 1),
-                 poly.pad_pow2(li, 1), poly.pad_pow2(lf, 1)], state)
+            l_oracle = ws.SequentialFoldOracle(
+                ws.lookup_stream_factory(oracle, g.size_l, B0, a, b,
+                                         g.table_size, g.TS), 4 * g.size_l)
+        lookup_proof, p_l, c_l, state = mts.prove(l_oracle, 4, g.size_l,
+                                                  state, B0)
         timings["lookups"] = time.time() - t0
 
-    # ---- 4. streaming gate consistency ----------------------------------
-    # chunk geometry matches the witness padding: K * B == N4 / 4, so the
-    # stream MLEs and the witness-lane MLEs share one domain.  Circuits
-    # with lookup tables run the lookup-aware identity
-    # (prove_gate_consistency_lookups, sumcheck.cpp:503).
+    # ---- 4. gate consistency --------------------------------------------
     t0 = time.time()
-    np2 = N4 // 4
-    B = min(config.buffer_space, np2 // 2)
-    K = np2 // B
-    lookup_mode = bool(program.tables)
+    state, r_gc = mimc.squeeze(state, g.log_np2)
     if lookup_mode:
-        state, lkw = mimc.squeeze(state, 2)
-        streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
-        padded = {nm: jnp.concatenate(
-            [v, jnp.zeros((np2 - v.shape[0], 2), jnp.uint64)])
-            for nm, v in streams.items()}
-        state, r = mimc.squeeze(state, int(np.log2(K * B)))
-        gc_proof, _, _, state = gc.prove_lookups(
-            lambda i: {nm: padded[nm][i * B:(i + 1) * B] for nm in padded},
-            K, B, r, state)
+        gc_proof, _, _, state = fs.prove(
+            _SeqDictChunks(oracle, g), views.GC2_NAMES, views.GC2_GROUPS,
+            g.K_gc, g.B_gc, r_gc, state)
     else:
-        chunks = _padded_gate_chunks(oracle, B, K)
-        state, r = mimc.squeeze(state, int(np.log2(K * B)))
-        gc_proof, state = gc.prove(lambda i: chunks[i], K, B, r, state)
+        gc_proof, state = gc.prove(_SeqGateArrays(oracle, g), g.K_gc,
+                                   g.B_gc, r_gc, state)
     timings["gate_consistency"] = time.time() - t0
 
-    # ---- 5. witness opening at the gate-consistency point ---------------
-    # The three lane points (L/R/O) differ only in the two LOW bits, which
-    # live inside x_lo — the aggregate, queries and replies are identical,
-    # so ONE opening binds all three lane evaluations (the verifier
-    # evaluates the transmitted aggregate at each lane's x_lo).
+    # ---- 5. openings -----------------------------------------------------
     t0 = time.time()
-    point = jnp.concatenate([gc_proof.mem_proof.challenges,
-                             gc_proof.bind_proof.challenges], axis=0)
-    log_n4 = int(np.log2(N4))
-    zero = F.scalar(0)
-    lane_pt = jnp.stack([zero, zero])
-    full_pt = jnp.concatenate([lane_pt, point], axis=0)[:log_n4]
-    if use_elastic:
-        from ..pc import elastic
-        opening, state = elastic.open_stream(
-            lambda i: wpoly[i * params.B:(i + 1) * params.B],
-            commitment, full_pt, state)
-    else:
-        opening, state = pc.open(wpoly, commitment, full_pt, params, state)
-    openings = [opening]
+    pts = _opening_points(gc_proof, p_w, p_l, g, lookup_mode)
+    w_open, state = elastic.open_stream_multi(
+        w_chunks if not streaming else _seq_chunks(w_chunks_gen, w_params.K),
+        w_com, pts["w"], state)
+    f_open, state = elastic.open_stream_multi(
+        _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state)
 
-    # ---- 5b. circuit-description commitment + opening --------------------
-    # (prove_arbitrary_circuit, main.cpp:812-852: the circuit polynomial is
-    # committed and opened like the witness; one opening binds all 8 lanes
-    # and the verifier reconstructs the selector evaluations from them.)
-    circuit_root = circuit_opening = None
-    if commit_circuit:
-        cpoly = views.circuit_lanes(tr, np2)
-        cparams = pc.make_params(8 * np2, pc_K, rows,
-                                 linear_time=config.linear_time,
-                                 queries=min(64, 790))
-        ccom = pc.commit(cpoly, cparams)
-        circuit_root = ccom.root
-        state = mimc.absorb(state,
-                            ccom.root.astype(jnp.uint64).reshape(4, 2))
-        c_pt = jnp.concatenate(
-            [jnp.stack([zero, zero, zero]), point],
-            axis=0)[: int(np.log2(8 * np2))]
-        circuit_opening, state = pc.open(cpoly, ccom, c_pt, cparams, state)
+    c_params = _pc_params(16 * g.np2, config, pc_rows)
+    c_gates = c_params.B // 16
+
+    def c_chunks(i):
+        return views.circuit_lane_chunk(program, i * c_gates,
+                                        (i + 1) * c_gates)
+    c_open, state = elastic.open_stream_multi(c_chunks, circuit_com,
+                                              pts["c"], state)
+    l_open = t_open = None
+    if lookup_mode:
+        rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
+        l_gates = l_params.B // 4
+
+        def l_chunks_gen2():
+            rank_state2.reset()
+            got = 0
+            for tr_c in oracle.gate_chunks(l_gates):
+                got += 1
+                ranks, _, _ = rank_state2.chunk_ranks(tr_c)
+                yield views.lookup_lane_chunk(tr_c, ranks)
+            for _ in range(l_params.K - got):
+                yield jnp.zeros((l_params.B, 2), jnp.uint64)
+        l_open, state = elastic.open_stream_multi(
+            _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state)
+        t_open, state = elastic.open_stream_multi(
+            _chunked(counts_f, t_params.B), t_com, pts["t"], state)
     timings["open"] = time.time() - t0
 
     proof = CircuitProof(
-        witness_root=commitment.root,
-        wiring_proof=wiring_proof,
-        lookup_proof=lookup_proof,
-        gc_proof=gc_proof,
-        openings=tuple(openings),
-        num_gates=tr.num_gates,
-        num_chunks=K,
-        chunk_size=B,
-        lookup_mode=lookup_mode,
-        circuit_root=circuit_root,
-        circuit_opening=circuit_opening,
-        timings=timings,
+        witness_root=w_com.root, final_root=f_com.root,
+        lookup_root=None if l_com is None else l_com.root,
+        counts_root=None if t_com is None else t_com.root,
+        wiring_proof=wiring_proof, lookup_proof=lookup_proof,
+        gc_proof=gc_proof, w_open=w_open, f_open=f_open, c_open=c_open,
+        l_open=l_open, t_open=t_open, num_gates=program.num_gates,
+        lookup_mode=lookup_mode, timings=timings,
     )
     return proof, state
 
 
-def verify(proof: CircuitProof, program: trc.CircuitProgram, inputs,
-           config: HobbitConfig, pc_K: int = 4,
+class _SeqChunks:
+    """Sequential chunk_fn over a restartable generator factory."""
+
+    def __init__(self, factory, K):
+        self.factory = factory
+        self.K = K
+        self._gen = None
+        self._next = 0
+
+    def __call__(self, i):
+        if i == 0 or self._gen is None:
+            assert i == 0, "sequential access required"
+            self._gen = self.factory()
+            self._next = 0
+        assert i == self._next
+        self._next += 1
+        return next(self._gen)
+
+
+def _seq_chunks(factory, K, restartable=True):
+    return _SeqChunks(factory, K)
+
+
+class _SeqGateArrays:
+    """chunk_fn(i) -> GateArrays for the plain gate-consistency prover."""
+
+    def __init__(self, oracle: trc.TraceOracle, g: Geometry):
+        self.oracle = oracle
+        self.g = g
+        self._gen = None
+        self._next = 0
+
+    def __call__(self, i):
+        if i == 0 or self._gen is None:
+            assert i == 0
+            self._gen = self._make()
+            self._next = 0
+        assert i == self._next
+        self._next += 1
+        return next(self._gen)
+
+    def _make(self):
+        got = 0
+        for tr_c in self.oracle.gate_chunks(self.g.B_gc):
+            got += 1
+            yield views.gate_arrays(tr_c)
+        zero = jnp.zeros((self.g.B_gc, 2), jnp.uint64)
+        for _ in range(self.g.K_gc - got):
+            yield views.GateArrays(zero, zero, zero, zero, zero)
+
+
+class _SeqDictChunks:
+    """chunk_fn(i) -> dict of GC2 streams for the lookup-mode identity."""
+
+    def __init__(self, oracle: trc.TraceOracle, g: Geometry):
+        self.oracle = oracle
+        self.g = g
+        self._gen = None
+        self._next = 0
+
+    def __call__(self, i):
+        if i == 0 or self._gen is None:
+            assert i == 0
+            self._gen = self._make()
+            self._next = 0
+        assert i == self._next
+        self._next += 1
+        return next(self._gen)
+
+    def _make(self):
+        got = 0
+        for tr_c in self.oracle.gate_chunks(self.g.B_gc):
+            got += 1
+            yield views.gc_streams_v2(tr_c)
+        zero = jnp.zeros((self.g.B_gc, 2), jnp.uint64)
+        for _ in range(self.g.K_gc - got):
+            yield {nm: zero for nm in views.GC2_NAMES}
+
+
+def _materialized_wiring_flat(oracle, g: Geometry, a, b):
+    tr = oracle.trace()
+    tr_pad = trc._slice_pad(tr, 0, tr.num_gates, g.np2)
+    reads, writes = views.wiring_rw_chunk(tr_pad, a, b)
+    init, fin = views.wiring_if_chunk(
+        jnp.pad(tr.fin_idx, (0, g.np2 - tr.num_wires)),
+        jnp.pad(tr.fin_val, ((0, g.np2 - tr.num_wires), (0, 0))),
+        jnp.pad(tr.fin_cnt, (0, g.np2 - tr.num_wires)),
+        tr.num_wires, oracle.program.num_inputs, a, b)
+    return jnp.concatenate([reads, writes, init, fin], axis=0)
+
+
+def _materialized_lookup_flat(oracle, g: Geometry, a, b):
+    tr = oracle.trace()
+    tr_pad = trc._slice_pad(tr, 0, tr.num_gates, g.np2)
+    rs = views.LookupRankStream(g.num_tables, g.table_size)
+    ranks, addr_eff, is_lkp = rs.chunk_ranks(tr_pad)
+    reads, writes = views.lookup_rw_chunk(tr_pad, ranks, addr_eff, is_lkp,
+                                          g.table_size, g.num_tables, a, b)
+    ones = jnp.zeros((g.size_l - g.np2, 2), jnp.uint64).at[:, 0].set(1)
+    reads = jnp.concatenate([reads, ones], axis=0)
+    writes = jnp.concatenate([writes, ones], axis=0)
+    init, fin = views.lookup_table_sets(
+        oracle.program.tables, rs.final_counts(), a, b, g.size_l,
+        g.table_size, g.TS)
+    return jnp.concatenate([reads, writes, init, fin], axis=0)
+
+
+def _opening_points(gc_proof, p_w, p_l, g: Geometry, lookup_mode: bool):
+    """Per-commitment lists of full opening points."""
+    zero = F.scalar(0)
+    z1 = zero[None, :]
+    rho_gc = jnp.concatenate([gc_proof.mem_proof.challenges,
+                              gc_proof.bind_proof.challenges], axis=0)
+    tau_w = p_w[2:2 + g.log_np2]
+    pts = {
+        "w": [jnp.concatenate([z1, z1, rho_gc], axis=0),
+              jnp.concatenate([z1, z1, tau_w], axis=0)],
+        "f": [tau_w],
+        "c": [jnp.concatenate([z1, z1, z1, z1, rho_gc], axis=0),
+              jnp.concatenate([z1, z1, z1, z1, tau_w], axis=0)],
+    }
+    if lookup_mode:
+        tau_l = p_l[: int(np.log2(g.size_l))]
+        tau_l_np2 = tau_l[: g.log_np2]
+        pts["c"].append(jnp.concatenate([z1, z1, z1, z1, tau_l_np2], axis=0))
+        pts["l"] = [jnp.concatenate([z1, z1, rho_gc], axis=0),
+                    jnp.concatenate([z1, z1, tau_l_np2], axis=0)]
+        pts["t"] = [tau_l[: int(np.log2(g.TS))]]
+    return pts
+
+
+# ---------------------------------------------------------------------------
+# Verifier (succinct: transcript replay + openings + O(TS) table work)
+# ---------------------------------------------------------------------------
+
+def _scale_high(point, lo_bits: int):
+    """prod_{j >= lo_bits} (1 - point_j): restriction of an eq-eval to the
+    low block (streams shorter than the domain, zero-padded)."""
+    one = F.scalar(1)
+    acc = one
+    for j in range(lo_bits, point.shape[0]):
+        acc = F.fmul(acc, F.fsub(one, point[j]))
+    return acc
+
+
+def verify(proof: CircuitProof, program: trc.CircuitProgram,
+           config: HobbitConfig, circuit_root,
            pc_rows: Optional[int] = None):
-    """Full verification; transparently recomputes circuit-derived streams
-    (see module docstring).  Returns (ok, state)."""
+    """Full succinct verification; returns (ok, state).
+
+    Public inputs: the circuit-description root (from ``commit_circuit`` —
+    recompute once or trust), the geometry, and the lookup tables.  The
+    gate trace is NEVER re-executed."""
+    g = geometry(program, config)
     ok = True
     state = mimc.fresh_state()
-    state = mimc.absorb(state,
-                        proof.witness_root.astype(jnp.uint64).reshape(4, 2))
+    state = _absorb_root(state, circuit_root)
+    state = _absorb_root(state, proof.witness_root)
+    state = _absorb_root(state, proof.final_root)
+    if proof.lookup_mode:
+        state = _absorb_root(state, proof.lookup_root)
+        state = _absorb_root(state, proof.counts_root)
 
-    # wiring mul-tree + permutation identity; streaming proofs additionally
-    # return the level-0 (point, claim) which we bind transparently below
     state, ab = mimc.squeeze(state, 2)
-    streaming_w = isinstance(proof.wiring_proof, mts.StreamMulTreeProof)
-    if streaming_w:
-        okw, w_point, w_claim, state = mts.verify(proof.wiring_proof, state)
-    else:
-        okw, w_point, state = mul_tree.verify(proof.wiring_proof, state)
+    a, b = ab[0], ab[1]
+
+    # ---- wiring mul-tree + permutation identity -------------------------
+    okw, p_w, c_w, state = mts.verify(proof.wiring_proof, state)
     ok = ok and bool(okw)
     out = proof.wiring_proof.output
-    lhs = F.fmul(out[0], out[3])
-    rhs = F.fmul(out[1], out[2])
-    ok = ok and bool(F.feq(lhs, rhs))
+    ok = ok and bool(F.feq(F.fmul(out[0], out[3]), F.fmul(out[1], out[2])))
 
-    l_point = l_claim = None
-    if proof.lookup_proof is not None:
-        if isinstance(proof.lookup_proof, mts.StreamMulTreeProof):
-            okl, l_point, l_claim, state = mts.verify(proof.lookup_proof,
-                                                      state)
-        else:
-            okl, _, state = mul_tree.verify(proof.lookup_proof, state)
+    p_l = c_l = None
+    if proof.lookup_mode:
+        okl, p_l, c_l, state = mts.verify(proof.lookup_proof, state)
         ok = ok and bool(okl)
         out = proof.lookup_proof.output
-        ok = ok and bool(F.feq(F.fmul(out[0], out[3]), F.fmul(out[1], out[2])))
+        ok = ok and bool(F.feq(F.fmul(out[0], out[3]),
+                               F.fmul(out[1], out[2])))
 
-    # gate consistency
-    B = proof.chunk_size
-    K = proof.num_chunks
+    # ---- gate consistency ----------------------------------------------
+    state, r_gc = mimc.squeeze(state, g.log_np2)
     if proof.lookup_mode:
-        state, lkw = mimc.squeeze(state, 2)
-        state, r = mimc.squeeze(state, int(np.log2(K * B)))
-        okg, gc_point, gc_evals, state = gc.verify_lookups(proof.gc_proof,
-                                                           B, r, state)
-        ok = ok and bool(okg)
-
-        class _Res(NamedTuple):
-            ok: bool
-            point: jnp.ndarray
-            stream_evals: dict
-        res = _Res(ok=bool(okg), point=gc_point, stream_evals=gc_evals)
-    else:
-        state, r = mimc.squeeze(state, int(np.log2(K * B)))
-        res, state = gc.verify(proof.gc_proof, B, r, state)
+        res, state = fs.verify(proof.gc_proof, g.B_gc, r_gc, state)
         ok = ok and bool(res.ok)
-
-    # witness openings: bind the L/R/O stream evals to the commitment
-    from ..pc import elastic
-    tr = trc.execute(program, inputs)     # transparent recomputation part
-    wpoly = build_witness_poly(tr)
-    N4 = wpoly.shape[0]
-    rows = pc_rows or max(4, config.tensor_row_size)
-    use_elastic = (N4 > 2 * config.buffer_space
-                   and N4 // config.buffer_space <= 32)
-    K_w = max(pc_K, N4 // config.buffer_space) if use_elastic else pc_K
-    params = pc.make_params(N4, K_w, rows, linear_time=config.linear_time,
-                            queries=min(64, 790))
-    log_n4 = int(np.log2(N4))
-    zero, one = F.scalar(0), F.scalar(1)
-    lb_pc = int(np.log2(params.B))
-    opening = proof.openings[0]
-    base_pt = jnp.concatenate([jnp.stack([zero, zero]), res.point],
-                              axis=0)[:log_n4]
-    if isinstance(opening, elastic.ElasticOpening):
-        oko, state = elastic.verify(proof.witness_root, base_pt, opening,
-                                    params, state)
+        S = res.group_sums
+        ok = ok and bool(F.feq(F.fadd(S[0], S[1]), S[2]))
+        ok = ok and bool(F.feq(S[3], S[4]))
+        ok = ok and bool(F.feq(S[5], S[6]))
+        ok = ok and bool(F.feq(S[7], S[8]))
+        gc_point, gc_evals = res.point, res.stream_evals
     else:
-        oko, state = pc.verify(proof.witness_root, base_pt, opening,
-                               params, state)
+        res, state = gc.verify(proof.gc_proof, g.B_gc, r_gc, state)
+        ok = ok and bool(res.ok)
+        gc_point, gc_evals = res.point, res.stream_evals
+
+    # ---- openings --------------------------------------------------------
+    pts = _opening_points(proof.gc_proof, p_w, p_l, g, proof.lookup_mode)
+    w_params = _pc_params(4 * g.np2, config, pc_rows)
+    f_params = _pc_params(g.np2, config, pc_rows)
+    c_params = _pc_params(16 * g.np2, config, pc_rows)
+    oko, state = elastic.verify_multi(proof.witness_root, pts["w"],
+                                      proof.w_open, w_params, state)
     ok = ok and bool(oko)
-    # one opening binds all three lanes: evaluate the transmitted
-    # aggregate at each lane's x_lo
-    npad = N4 // 4
-    for li, lane_bits in enumerate(((zero, zero), (one, zero), (zero, one))):
-        lane_pt = jnp.stack([lane_bits[0], lane_bits[1]])
-        full_pt = jnp.concatenate([lane_pt, res.point], axis=0)[:log_n4]
-        got = poly.evaluate_vector(opening.aggr, full_pt[:lb_pc])
-        want = res.stream_evals[("L", "R", "O")[li]]
-        if npad == K * B:
-            ok = ok and bool(F.feq(got, want))
+    oko, state = elastic.verify_multi(proof.final_root, pts["f"],
+                                      proof.f_open, f_params, state)
+    ok = ok and bool(oko)
+    oko, state = elastic.verify_multi(circuit_root, pts["c"],
+                                      proof.c_open, c_params, state)
+    ok = ok and bool(oko)
+    if proof.lookup_mode:
+        l_params = _pc_params(4 * g.np2, config, pc_rows)
+        t_params = _pc_params(g.TS, config, pc_rows)
+        oko, state = elastic.verify_multi(proof.lookup_root, pts["l"],
+                                          proof.l_open, l_params, state)
+        ok = ok and bool(oko)
+        oko, state = elastic.verify_multi(proof.counts_root, pts["t"],
+                                          proof.t_open, t_params, state)
+        ok = ok and bool(oko)
 
-    # selector evaluations: bound by the circuit-description commitment
-    # when present (prove_arbitrary_circuit path), else transparent
-    n_total = K * B
+    # ---- lane evaluations ------------------------------------------------
+    # wpoly/cpoly/lpoly lane evals come from the transmitted aggregates:
+    # evaluating at (lane bits || tau_low) for each lane.
+    tau_w = p_w[2:2 + g.log_np2]
+    lb_w = int(np.log2(w_params.B))
+    lb_c = int(np.log2(c_params.B))
+    lb_f = int(np.log2(f_params.B))
 
-    def _padded_eval(arr, point):
+    def wlane(pidx, lane):
         full = jnp.concatenate(
-            [arr, jnp.zeros((n_total - arr.shape[0], 2), jnp.uint64)])
-        return poly.evaluate_vector(full, point)
+            [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
+             (pts["w"][pidx])[2:]], axis=0)
+        return poly.evaluate_vector(proof.w_open.aggrs[pidx], full[:lb_w])
 
-    if proof.circuit_root is not None:
-        np2 = N4 // 4
-        cparams = pc.make_params(8 * np2, pc_K, rows,
-                                 linear_time=config.linear_time,
-                                 queries=min(64, 790))
-        state = mimc.absorb(
-            state, proof.circuit_root.astype(jnp.uint64).reshape(4, 2))
-        c_pt = jnp.concatenate(
-            [jnp.stack([zero, zero, zero]), res.point],
-            axis=0)[: int(np.log2(8 * np2))]
-        okc, state = pc.verify(proof.circuit_root, c_pt,
-                               proof.circuit_opening, cparams, state)
-        ok = ok and bool(okc)
-        # the circuit commitment itself is public input: recompute its root
-        cpoly = views.circuit_lanes(tr, np2)
-        ccom = pc.commit(cpoly, cparams)
-        ok = ok and bool(jnp.all(ccom.root == proof.circuit_root))
-        # lane evals at the gc point from the single opening's aggregate
-        lb_c = int(np.log2(cparams.B))
-        lane_evals = []
-        for lane in range(8):
-            bits = jnp.stack([F.scalar((lane >> b) & 1) for b in range(3)])
-            fp = jnp.concatenate([bits, res.point],
-                                 axis=0)[: int(np.log2(8 * np2))]
-            lane_evals.append(
-                poly.evaluate_vector(proof.circuit_opening.aggr,
-                                     fp[:lb_c]))
-        add_e, mul_e, lkp_e = lane_evals[0], lane_evals[1], lane_evals[2]
-        if proof.lookup_mode:
-            saL = F.fadd(add_e, F.fmul(lkw[0], lkp_e))
-            saR = F.fadd(add_e, F.fmul(lkw[1], lkp_e))
-            ok = ok and bool(F.feq(res.stream_evals["saL"], saL))
-            ok = ok and bool(F.feq(res.stream_evals["saR"], saR))
-            ok = ok and bool(F.feq(res.stream_evals["sm"], mul_e))
-            ok = ok and bool(F.feq(res.stream_evals["slkp"], lkp_e))
-            # lkpO is a pointwise product stream — still transparent
-            streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
-            want = _padded_eval(streams["lkpO"], res.point)
-            ok = ok and bool(F.feq(res.stream_evals["lkpO"], want))
-        else:
-            ok = ok and bool(F.feq(res.stream_evals["sa"], add_e))
-            ok = ok and bool(F.feq(res.stream_evals["sm"], mul_e))
-    elif proof.lookup_mode:
-        streams = views.gate_arrays_lookups(tr, lkw[0], lkw[1])
-        for name in ("saL", "saR", "sm", "slkp", "lkpO"):
-            want = _padded_eval(streams[name], res.point)
-            ok = ok and bool(F.feq(res.stream_evals[name], want))
-    else:
-        ga = views.gate_arrays(tr)
-        for name, arr in (("sa", ga.sel_add), ("sm", ga.sel_mul)):
-            want = _padded_eval(arr, res.point)
-            ok = ok and bool(F.feq(res.stream_evals[name], want))
+    def clane(pidx, lane):
+        bits = jnp.stack([F.scalar((lane >> j) & 1) for j in range(4)])
+        full = jnp.concatenate([bits, (pts["c"][pidx])[4:]], axis=0)
+        return poly.evaluate_vector(proof.c_open.aggrs[pidx], full[:lb_c])
 
-    a, b = ab[0], ab[1]
-    reads, writes = views.wiring_read_write_sets(tr, a, b)
-    init, fin = views.wiring_init_final_sets(tr, program.num_inputs, a, b)
-    if streaming_w:
-        wflat, _, _ = _set_matrix([reads, writes, init, fin])
-        ok = ok and bool(F.feq(w_claim,
-                               poly.evaluate_vector(wflat, w_point)))
-    else:
-        sets = [poly.pad_pow2(reads, 1), poly.pad_pow2(writes, 1),
-                poly.pad_pow2(init, 1), poly.pad_pow2(fin, 1)]
-        depth = int(np.log2(max(s.shape[0] for s in sets)))
-        ind_r = w_point[:depth]
-        for j, s in enumerate(sets):
-            if s.shape[0] == 1 << depth:
-                want = poly.evaluate_vector(s, ind_r)
-                ok = ok and bool(F.feq(proof.wiring_proof.partial_evals[j],
-                                       want))
+    # ---- gate-consistency stream binding --------------------------------
+    L_gc, R_gc, O_gc = wlane(0, 0), wlane(0, 1), wlane(0, 2)
+    ok = ok and bool(F.feq(gc_evals["L"], L_gc))
+    ok = ok and bool(F.feq(gc_evals["R"], R_gc))
+    ok = ok and bool(F.feq(gc_evals["O"], O_gc))
+    ok = ok and bool(F.feq(gc_evals["sa"], clane(0, views.C_ADD)))
+    ok = ok and bool(F.feq(gc_evals["sm"], clane(0, views.C_MUL)))
+    if proof.lookup_mode:
+        ok = ok and bool(F.feq(gc_evals["M"],
+                               F.fsub(F.fadd(L_gc, R_gc), O_gc)))
+        ok = ok and bool(F.feq(gc_evals["slkp"], clane(0, views.C_LKP)))
 
-    if l_point is not None and program.tables:
-        table_size = _pow2_above(max(len(t) for t in program.tables))
-        lr, lw, li_, lf = views.lookup_sets(tr, program.tables, a, b,
-                                            table_size=table_size)
-        lflat, _, _ = _set_matrix([lr, lw, li_, lf])
-        ok = ok and bool(F.feq(l_claim,
-                               poly.evaluate_vector(lflat, l_point)))
+        def llane(pidx, lane):
+            l_params = _pc_params(4 * g.np2, config, pc_rows)
+            lb_l = int(np.log2(l_params.B))
+            full = jnp.concatenate(
+                [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
+                 (pts["l"][pidx])[2:]], axis=0)
+            return poly.evaluate_vector(proof.l_open.aggrs[pidx],
+                                        full[:lb_l])
+
+        ok = ok and bool(F.feq(gc_evals["Lm"], llane(0, views.L_LM)))
+        ok = ok and bool(F.feq(gc_evals["Rm"], llane(0, views.L_RM)))
+        ok = ok and bool(F.feq(gc_evals["Om"], llane(0, views.L_OM)))
+
+    # ---- wiring level-0 claim derivation --------------------------------
+    sigma_w = p_w[:2]
+    v_w = p_w[2 + g.log_np2:]
+    beta_s = poly.beta_table(sigma_w)        # [4, 2]
+    beta_v = poly.beta_table(v_w)            # [4, 2]
+    one = F.scalar(1)
+
+    idxE = (clane(1, views.C_IDXL), clane(1, views.C_IDXR),
+            clane(1, views.C_IDXO))
+    accE = (clane(1, views.C_ACCL), clane(1, views.C_ACCR), None)
+    valE = (wlane(1, 0), wlane(1, 1), wlane(1, 2))
+    rgE = F.fadd(F.fadd(clane(1, views.C_ADD), clane(1, views.C_MUL)),
+                 clane(1, views.C_LKP))
+    reads_e = one
+    for s in range(3):
+        term = F.fadd(idxE[s], F.fmul(a, valE[s]))
+        if accE[s] is not None:
+            term = F.fadd(term, F.fmul(b, accE[s]))
+        reads_e = F.fadd(reads_e, F.fmul(beta_s[s], term))
+    writes_e = F.fadd(reads_e, F.fmul(
+        b, F.fmul(F.fadd(F.fadd(beta_s[0], beta_s[1]), beta_s[2]), rgE)))
+    fvalE = poly.evaluate_vector(proof.f_open.aggrs[0],
+                                 tau_w[:lb_f])
+    fidxE = clane(1, views.C_FIDX)
+    fcntE = clane(1, views.C_FCNT)
+    finpE = clane(1, views.C_FINP)
+    init_e = F.fadd(one, F.fmul(beta_s[0], F.fadd(
+        fidxE, F.fadd(F.fmul(a, fvalE), F.fmul(b, finpE)))))
+    fin_e = F.fadd(one, F.fmul(beta_s[0], F.fadd(
+        fidxE, F.fadd(F.fmul(a, fvalE), F.fmul(b, fcntE)))))
+    v0_w = F.fadd(
+        F.fadd(F.fmul(beta_v[0], reads_e), F.fmul(beta_v[1], writes_e)),
+        F.fadd(F.fmul(beta_v[2], init_e), F.fmul(beta_v[3], fin_e)))
+    ok = ok and bool(F.feq(c_w, v0_w))
+
+    # ---- lookup level-0 claim derivation --------------------------------
+    if proof.lookup_mode:
+        log_sl = int(np.log2(g.size_l))
+        tau_l = p_l[:log_sl]
+        v_l = p_l[log_sl:]
+        beta_vl = poly.beta_table(v_l)
+        scale_np2 = _scale_high(tau_l, g.log_np2)
+
+        def llane2(lane):
+            l_params = _pc_params(4 * g.np2, config, pc_rows)
+            lb_l = int(np.log2(l_params.B))
+            full = jnp.concatenate(
+                [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
+                 (pts["l"][1])[2:]], axis=0)
+            return poly.evaluate_vector(proof.l_open.aggrs[1],
+                                        full[:lb_l])
+
+        LmE, RmE = llane2(views.L_LM), llane2(views.L_RM)
+        OmE, rankE = llane2(views.L_OM), llane2(views.L_RANK)
+        tidE = clane(2, views.C_TID)
+        lkpE = clane(2, views.C_LKP)
+        addrE = F.fadd(F.fmul(F.scalar(g.table_size), tidE),
+                       F.fadd(LmE, F.fmul(F.scalar(256), RmE)))
+        lkread = F.fadd(one, F.fmul(scale_np2, F.fadd(
+            addrE, F.fadd(F.fmul(a, OmE), F.fmul(b, rankE)))))
+        lkwrite = F.fadd(lkread, F.fmul(scale_np2, F.fmul(b, lkpE)))
+
+        # table init/final: public O(TS) evaluation + committed counts
+        log_ts = int(np.log2(g.TS))
+        tau_ts = tau_l[:log_ts]
+        scale_ts = _scale_high(tau_l, log_ts)
+        tab_addr = jnp.arange(g.TS, dtype=jnp.int64)
+        tab_vals = views.padded_table_values(program.tables, g.table_size,
+                                             g.TS)
+        pub = F.fadd(
+            jnp.stack([tab_addr.astype(jnp.uint64),
+                       jnp.zeros_like(tab_addr, dtype=jnp.uint64)],
+                      axis=-1),
+            F.fmul(a[None, :],
+                   jnp.stack([tab_vals, jnp.zeros_like(tab_vals)], axis=-1)))
+        pubE = poly.evaluate_vector(pub, tau_ts)
+        t_params = _pc_params(g.TS, config, pc_rows)
+        lb_t = int(np.log2(t_params.B))
+        cntE = poly.evaluate_vector(proof.t_open.aggrs[0], tau_ts[:lb_t])
+        init_e = F.fadd(one, F.fmul(scale_ts, pubE))
+        fin_e = F.fadd(one, F.fmul(scale_ts,
+                                   F.fadd(pubE, F.fmul(b, cntE))))
+        v0_l = F.fadd(
+            F.fadd(F.fmul(beta_vl[0], lkread), F.fmul(beta_vl[1], lkwrite)),
+            F.fadd(F.fmul(beta_vl[2], init_e), F.fmul(beta_vl[3], fin_e)))
+        ok = ok and bool(F.feq(c_l, v0_l))
 
     return ok, state
 
 
-__all__ = ["CircuitProof", "prove", "verify", "build_witness_poly"]
+__all__ = ["CircuitProof", "Geometry", "geometry", "commit_circuit",
+           "prove", "verify"]

@@ -130,6 +130,59 @@ def _product_sumcheck_scan(arrays, state):
 
 
 @maybe_jit
+def _product_sumcheck_scan_padded(arrays, n_active, state):
+    """Masked k-product sumcheck over ZERO-PADDED arrays.
+
+    arrays: [N, 2] each (N the shared pad size); n_active: traced scalar —
+    the true (power-of-two) length.  Rounds beyond log2(n_active) are
+    no-ops (state passes through untouched), so ONE compiled executable
+    serves every level of a product tree / every size <= N; the caller
+    slices polys/challenges to log2(n_active) rounds.  Active rounds
+    produce transcripts identical to ``_product_sumcheck_scan``."""
+    n = arrays[0].shape[0]
+    rounds = int(np.log2(n))
+    k = len(arrays)
+    vs = jnp.stack(arrays)                          # [k, n, 2]
+    n_active = jnp.asarray(n_active, dtype=jnp.int32)
+    idx = jnp.arange(n // 2, dtype=jnp.int32)
+    ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
+
+    def body(carry, i):
+        vs, state = carry
+        m_half = n_active >> (i + 1)
+        active = m_half > 0
+        mask = (idx < m_half)[:, None]
+        v0 = vs[:, 0::2]
+        v1 = vs[:, 1::2]
+        slope = F.fsub(v1, v0)
+        acc = [jnp.where(mask, ones, 0)]
+        for j in range(k):
+            new = [None] * (len(acc) + 1)
+            for d, c in enumerate(acc):
+                t0 = F.fmul(c, v0[j])
+                t1 = F.fmul(c, slope[j])
+                new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
+                new[d + 1] = t1 if new[d + 1] is None \
+                    else F.fadd(new[d + 1], t1)
+            acc = new
+        coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
+        state2 = mimc.absorb(state, coeffs)
+        state2, r = mimc.squeeze1(state2)
+        folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
+        vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
+        vs_out = jnp.where(active, vs2, vs)
+        state_out = jnp.where(active, state2, state)
+        return (vs_out, state_out), (jnp.where(active, coeffs, 0),
+                                     jnp.where(active, r, 0))
+
+    (vs, state), (polys, chals) = jax.lax.scan(
+        body, (vs, state), jnp.arange(rounds, dtype=jnp.int32))
+    finals = vs[:, 0]
+    state = mimc.absorb(state, finals)
+    return SumcheckProof(polys, chals, finals), state
+
+
+@maybe_jit
 def prove_2product(v1, v2, state):
     """sum_x v1(x) * v2(x); quadratic rounds (reference prover.cpp:119-186)."""
     return _product_sumcheck([v1, v2], state)

@@ -167,6 +167,25 @@ def verify_leaf(root, leaf_digest, index: int, path,
     return bool(jnp.all(cur == root))
 
 
+def verify_leaves_batch(root, leaf_digests, indices, paths,
+                        backend: str = "blake3") -> bool:
+    """Batched membership check: digests [q, 8], paths [q, depth, 8].
+
+    One vectorized hash per level for the whole batch (the per-leaf
+    version costs q*depth tiny dispatches)."""
+    _, pairs = _BACKENDS[backend]
+    cur = leaf_digests
+    pos = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    for d in range(paths.shape[1]):
+        sib = paths[:, d]
+        odd = (pos & 1).astype(bool)[:, None]
+        left = jnp.where(odd, sib, cur)
+        right = jnp.where(odd, cur, sib)
+        cur = pairs(left, right)
+        pos = pos // 2
+    return bool(jnp.all(cur == root[None, :]))
+
+
 def dedup_path_size(indices: Sequence[int], num_leaves: int) -> int:
     """Number of 32-byte digests actually transmitted for a batch of
     openings, counting shared path nodes once (verify_claim_opt_blake's
@@ -189,5 +208,5 @@ def dedup_path_size(indices: Sequence[int], num_leaves: int) -> int:
 __all__ = [
     "MerkleTree", "build_from_digests", "commit_fields",
     "commit_fields_chained", "open_leaf", "open_leaves", "verify_leaf",
-    "dedup_path_size",
+    "verify_leaves_batch", "dedup_path_size",
 ]

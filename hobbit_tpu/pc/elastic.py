@@ -295,6 +295,124 @@ def verify_recursive(root, x, opening: ElasticRecursiveOpening,
         sw_queries=sw_queries)
 
 
+# ---------------------------------------------------------------------------
+# Multi-point opening: open the SAME commitment at P points sharing one set
+# of column queries/replies/Merkle paths (the expensive part); only the
+# per-point aggregates differ.  The aggregation pass handles all points at
+# once, so the total cost is one open + (P-1) extra B-sized aggregates.
+# (Reference opens per point, Elastic_PC.cpp:625-726; sharing the replies
+# is sound because the queries are derived AFTER all aggregates are bound.)
+# ---------------------------------------------------------------------------
+
+class ElasticMultiOpening(NamedTuple):
+    eval_claims: jnp.ndarray           # [P, 2]
+    aggrs: jnp.ndarray                 # [P, B, 2] transmitted aggregates
+    rows_idx: Tuple[int, ...]
+    cols_idx: Tuple[int, ...]
+    reply: jnp.ndarray                 # [q, K, 4, 2]
+    paths: jnp.ndarray
+
+
+def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
+                      com: ElasticCommitment, points, state):
+    """Open at every point in `points` (list of [log2 N, 2]); two passes."""
+    from ..utils.jitting import maybe_jit
+
+    params = com.params
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    lb = int(np.log2(params.B))
+    P = len(points)
+    betas = jnp.stack([poly.beta_table(x[lb:]) for x in points])  # [P, K, 2]
+
+    @maybe_jit
+    def _aggr_step(aggrs, b, chunk):
+        # aggrs [P, B, 2]; b [P, 2]
+        return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
+
+    aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
+    for i in range(params.K):
+        aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
+    eval_claims = jnp.stack([poly.evaluate_vector(aggrs[p], points[p][:lb])
+                             for p in range(P)])
+
+    for p in range(P):
+        aggr_tree = merkle.commit_fields(aggrs[p])
+        state = mimc.absorb(state,
+                            aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
+
+    @maybe_jit
+    def _reply_step(chunk):
+        codeword = enc.tensor_encode(spec, chunk)
+        return std._leaf_groups(codeword)[lid]
+
+    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+    reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
+    paths = merkle.open_leaves(com.tree, leaf_ids)
+    return ElasticMultiOpening(
+        eval_claims=eval_claims, aggrs=aggrs,
+        rows_idx=qrows, cols_idx=qcols, reply=reply, paths=paths,
+    ), state
+
+
+def lane_eval(opening, pidx: int, lo_bits):
+    """Evaluate the transmitted aggregate of point `pidx` at alternative
+    low bits (the lane trick: one opening binds every point sharing x_hi)."""
+    aggrs = opening.aggrs if hasattr(opening, "aggrs") else None
+    aggr = aggrs[pidx] if aggrs is not None else opening.aggr
+    return poly.evaluate_vector(aggr, lo_bits)
+
+
+def verify_multi(root, points, opening: ElasticMultiOpening,
+                 params: std.TensorPCParams, state):
+    """Returns (ok, state).  Naive-recursion mode (aggregates transmitted,
+    verifier re-encodes them); the query replies and Merkle work are shared
+    across points."""
+    from ..utils.jitting import maybe_jit
+
+    lb = int(np.log2(params.B))
+    P = len(points)
+    for p in range(P):
+        aggr_tree = merkle.commit_fields(opening.aggrs[p])
+        state = mimc.absorb(state,
+                            aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+    if tuple(qrows) != tuple(opening.rows_idx) or \
+       tuple(qcols) != tuple(opening.cols_idx):
+        return False, state
+
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    rc = jnp.asarray([r % 4 for r in qrows], dtype=jnp.int32)
+    q_ar = jnp.arange(len(qrows))
+    enc_aggr = enc.tensor_encode(spec, opening.aggrs)       # [P, 2r, 2c, 2]
+    ok = True
+    for p in range(P):
+        if not bool(F.feq(poly.evaluate_vector(opening.aggrs[p],
+                                               points[p][:lb]),
+                          opening.eval_claims[p])):
+            return False, state
+        beta = poly.beta_table(points[p][lb:])
+        comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
+        comb_sel = comb[q_ar, rc]                           # [q, 2]
+        want = enc_aggr[p][jnp.asarray(qrows), jnp.asarray(qcols)]
+        if not bool(jnp.all(F.feq(comb_sel, want))):
+            return False, state
+
+    # shared Merkle verification: chain replies across chunks, batch-verify
+    prev = jnp.zeros((len(qrows), 8), dtype=jnp.uint32)
+    for i in range(params.K):
+        prev = blake3.hash_chained_leaf(opening.reply[:, i], prev)
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    okm = merkle.verify_leaves_batch(root, prev, leaf_ids, opening.paths)
+    return ok and bool(okm), state
+
+
 __all__ = ["ElasticCommitment", "ElasticOpening", "ElasticRecursiveOpening",
-           "commit_stream", "open_stream", "open_stream_recursive",
-           "verify", "verify_recursive"]
+           "ElasticMultiOpening", "commit_stream", "open_stream",
+           "open_stream_recursive", "open_stream_multi", "lane_eval",
+           "verify", "verify_recursive", "verify_multi"]

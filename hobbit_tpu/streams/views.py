@@ -268,8 +268,300 @@ def lookup_sets(tr: trc.Trace, tables, a, b, table_size: int = 1 << 16):
     return reads, writes, init, fin
 
 
+# ---------------------------------------------------------------------------
+# Protocol-v2 lane polynomials (the succinct-verifier layout)
+#
+# Every committed stream is a power-of-two LANE interleave so that one PC
+# opening at a point (lane_bits || tau) binds every lane's evaluation at
+# tau (the transmitted aggregate is evaluated at each lane's low bits).
+# All protocol set streams are then LINEAR in lane evaluations, so the
+# verifier derives every set/stream evaluation from openings — it never
+# executes the circuit (reference binding intent: main.cpp:812-852).
+#
+#   wpoly  [4*np2]  lanes (L, R, O, 0)            — witness, per gate
+#   fpoly  [np2]    death-order final values      — witness, per wire
+#   cpoly  [16*np2] static circuit description    — public preprocessing
+#   lpoly  [4*np2]  lanes (Lm, Rm, Om, rankm)     — lookup aux (masked)
+#   tpoly  [TS]     final lookup access counts    — lookup aux
+# ---------------------------------------------------------------------------
+
+# cpoly lane indices
+C_ADD, C_MUL, C_LKP, C_TID = 0, 1, 2, 3
+C_IDXL, C_IDXR, C_IDXO, C_ACCL, C_ACCR = 4, 5, 6, 7, 8
+C_FIDX, C_FCNT, C_FINP = 9, 10, 11
+C_LANES = 16
+
+# lpoly lane indices
+L_LM, L_RM, L_OM, L_RANK = 0, 1, 2, 3
+
+
+def witness_lane_chunk(tr: trc.Trace):
+    """[4*B, 2] chunk of wpoly from a B-gate trace chunk: slot 4t+lane =
+    (v_l, v_r, v_o, 0)."""
+    B = tr.types.shape[0]
+    lanes = jnp.zeros((B, 4, 2), dtype=jnp.uint64)
+    lanes = lanes.at[:, 0].set(tr.val_l)
+    lanes = lanes.at[:, 1].set(tr.val_r)
+    lanes = lanes.at[:, 2].set(tr.val_o)
+    return lanes.reshape(4 * B, 2)
+
+
+import collections as _collections
+
+_CIRCUIT_LANE_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_CIRCUIT_LANE_CACHE_MAX = 4
+
+
+def _circuit_lanes_host(program: trc.CircuitProgram) -> np.ndarray:
+    """Full host-side cpoly gate/wire lane matrix [num_slots?, C_LANES]
+    (real parts only; imaginary is zero).  Cached per program — chunk
+    extraction is then a contiguous slice instead of O(N) concats."""
+    key = id(program)
+    hit = _CIRCUIT_LANE_CACHE.get(key)
+    if hit is not None and hit[0] is program:
+        _CIRCUIT_LANE_CACHE.move_to_end(key)
+        return hit[1]
+    n = program.num_gates
+    W = program.num_wires
+    m = max(n, W)
+    lanes = np.zeros((m, C_LANES), dtype=np.uint64)
+    types = np.concatenate(
+        [l.types for l in program.levels]).astype(np.int64) if n else \
+        np.zeros(0, np.int64)
+    if n:
+        idx_l = np.concatenate([l.idx_l for l in program.levels])
+        idx_r = np.concatenate([l.idx_r for l in program.levels])
+        idx_o = np.concatenate([l.idx_o for l in program.levels])
+        lkp = (types >= trc.T_LOOKUP0).astype(np.uint64)
+        lanes[:n, C_ADD] = (types == trc.T_ADD)
+        lanes[:n, C_MUL] = (types == trc.T_MUL)
+        lanes[:n, C_LKP] = lkp
+        lanes[:n, C_TID] = np.where(
+            lkp > 0, (types - trc.T_LOOKUP0).astype(np.uint64), 0)
+        lanes[:n, C_IDXL] = idx_l.astype(np.uint64)
+        lanes[:n, C_IDXR] = idx_r.astype(np.uint64)
+        lanes[:n, C_IDXO] = idx_o.astype(np.uint64)
+        lanes[:n, C_ACCL] = program.acc_l.astype(np.uint64)
+        lanes[:n, C_ACCR] = program.acc_r.astype(np.uint64)
+    fp = program.final_perm
+    lanes[:W, C_FIDX] = fp.astype(np.uint64)
+    lanes[:W, C_FCNT] = program.final_count[fp].astype(np.uint64)
+    lanes[:W, C_FINP] = (fp < program.num_inputs).astype(np.uint64)
+    _CIRCUIT_LANE_CACHE[key] = (program, lanes)
+    if len(_CIRCUIT_LANE_CACHE) > _CIRCUIT_LANE_CACHE_MAX:
+        _CIRCUIT_LANE_CACHE.popitem(last=False)
+    return lanes
+
+
+def circuit_lane_chunk(program: trc.CircuitProgram, a: int, b: int):
+    """[16*(b-a), 2] chunk of cpoly for gate slots [a, b) — all STATIC host
+    data (no execution): selectors, table ids, wiring indices, access
+    counters, death-order wire metadata.  Slots beyond the data are zero."""
+    host = _circuit_lanes_host(program)
+    m = b - a
+    out = np.zeros((m, C_LANES, 2), dtype=np.uint64)
+    if a < host.shape[0]:
+        e = min(b, host.shape[0])
+        out[: e - a, :, 0] = host[a:e]
+    return jnp.asarray(out.reshape(C_LANES * m, 2))
+
+
+def lookup_lane_chunk(tr: trc.Trace, ranks):
+    """[4*B, 2] chunk of lpoly: lanes (Lm, Rm, Om, rankm), every lane
+    masked by the lookup-gate indicator (zero elsewhere)."""
+    B = tr.types.shape[0]
+    is_lkp = (tr.types >= trc.T_LOOKUP0)[:, None]
+    zero = jnp.zeros((1, 2), dtype=jnp.uint64)
+    lanes = jnp.zeros((B, 4, 2), dtype=jnp.uint64)
+    lanes = lanes.at[:, L_LM].set(jnp.where(is_lkp, tr.val_l, zero))
+    lanes = lanes.at[:, L_RM].set(jnp.where(is_lkp, tr.val_r, zero))
+    lanes = lanes.at[:, L_OM].set(jnp.where(is_lkp, tr.val_o, zero))
+    rank_f = jnp.stack([ranks.astype(jnp.uint64),
+                        jnp.zeros_like(ranks, dtype=jnp.uint64)], axis=-1)
+    lanes = lanes.at[:, L_RANK].set(jnp.where(is_lkp, rank_f, zero))
+    return lanes.reshape(4 * B, 2)
+
+
+class LookupRankStream:
+    """Streaming per-occurrence lookup ranks + running counts.
+
+    Resident state: one device counts table of size num_tables*table_size
+    (O(tables), independent of the circuit).  ``chunk_ranks`` is
+    deterministic given the chunk sequence, so re-streaming reproduces the
+    same ranks (the reference's 4-stage lookup stream semantics,
+    witness_stream.cpp:2198-2275)."""
+
+    def __init__(self, num_tables: int, table_size: int):
+        self.num_tables = num_tables
+        self.table_size = table_size
+        self.reset()
+
+    def reset(self):
+        self.counts = jnp.zeros(
+            (self.num_tables * self.table_size + 1,), dtype=jnp.int64)
+
+    @staticmethod
+    def chunk_addr(tr: trc.Trace, table_size: int, num_tables: int):
+        is_lkp = tr.types >= trc.T_LOOKUP0
+        tid = jnp.where(is_lkp, tr.types - trc.T_LOOKUP0, 0).astype(jnp.int64)
+        key = jnp.where(
+            is_lkp,
+            (tr.val_l[:, 0] + np.uint64(256) * tr.val_r[:, 0]
+             ).astype(jnp.int64), 0)
+        key = jnp.clip(key, 0, table_size - 1)
+        addr = tid * table_size + key
+        sentinel = num_tables * table_size
+        return jnp.where(is_lkp, addr, sentinel), is_lkp
+
+    def chunk_ranks(self, tr: trc.Trace):
+        """-> (ranks [B], addr_eff [B], is_lkp [B]); updates counts."""
+        addr_eff, is_lkp = self.chunk_addr(tr, self.table_size,
+                                           self.num_tables)
+        within, _ = lookup_ranks(addr_eff, self.num_tables * self.table_size
+                                 + 1)
+        prior = self.counts[addr_eff]
+        self.counts = self.counts.at[addr_eff].add(1)
+        return prior + within, addr_eff, is_lkp
+
+    def final_counts(self):
+        return self.counts[:-1]
+
+
+# ---- v2 set streams (4-slot stride; LINEAR in the committed lanes) --------
+
+def wiring_rw_chunk(tr: trc.Trace, a, b):
+    """(reads [4B, 2], writes [4B, 2]) for a B-gate chunk: slot 4t+s with
+    s = (l, r, o, pad); element = idx + 1 + a*val + b*acc, pad slots and
+    pad gates are the multiplicative identity 1."""
+    B = tr.types.shape[0]
+    rg = (tr.types != trc.T_PAD)
+    addr = jnp.stack([tr.idx_l, tr.idx_r, tr.idx_o,
+                      jnp.zeros_like(tr.idx_o)], axis=1)
+    val = jnp.stack([tr.val_l, tr.val_r, tr.val_o,
+                     jnp.zeros_like(tr.val_o)], axis=1)
+    acc = jnp.stack([tr.acc_l, tr.acc_r, jnp.zeros_like(tr.acc_l),
+                     jnp.zeros_like(tr.acc_l)], axis=1)
+    real = jnp.stack([rg, rg, rg, jnp.zeros_like(rg)], axis=1)
+    addr_f = _as_field_int(addr.reshape(-1))
+    val_f = val.reshape(-1, 2)
+    acc_f = _as_field_int(acc.reshape(-1))
+    real_f = real.reshape(-1)
+    one = F.ones(())[None, :]
+    reads = _rlc(addr_f, val_f, acc_f, a, b)
+    writes = _rlc(addr_f, val_f, _as_field_int(acc.reshape(-1) + 1), a, b)
+    reads = jnp.where(real_f[:, None], reads, one)
+    writes = jnp.where(real_f[:, None], writes, one)
+    return reads, writes
+
+
+def wiring_if_chunk(fin_idx, fin_val, fin_cnt, n_valid: int, num_inputs: int,
+                    a, b):
+    """(init [4B, 2], final [4B, 2]) for a B-record final chunk in death
+    order: record at slot 4t, other slots 1."""
+    B = fin_idx.shape[0]
+    is_input = (fin_idx < num_inputs).astype(jnp.int64)
+    init1 = _rlc(_as_field_int(fin_idx), fin_val, _as_field_int(is_input),
+                 a, b)
+    fin1 = _rlc(_as_field_int(fin_idx), fin_val, _as_field_int(fin_cnt),
+                a, b)
+    valid = (jnp.arange(B) < n_valid)[:, None]
+    one = F.ones(())[None, :]
+    init1 = jnp.where(valid, init1, one)
+    fin1 = jnp.where(valid, fin1, one)
+    ones = jnp.broadcast_to(one[None, :, :], (B, 3, 2)).astype(jnp.uint64)
+    init4 = jnp.concatenate([init1[:, None, :], ones], axis=1)
+    fin4 = jnp.concatenate([fin1[:, None, :], ones], axis=1)
+    return init4.reshape(4 * B, 2), fin4.reshape(4 * B, 2)
+
+
+def lookup_rw_chunk(tr: trc.Trace, ranks, addr_eff, is_lkp, table_size: int,
+                    num_tables: int, a, b):
+    """(reads [B, 2], writes [B, 2]) lookup-table memory checking sets:
+    element = addr + 1 + a*val + b*rank (val = the looked-up output)."""
+    addr_f = _as_field_int(jnp.where(is_lkp, addr_eff, 0))
+    reads = _rlc(addr_f, tr.val_o, _as_field_int(ranks), a, b)
+    writes = _rlc(addr_f, tr.val_o, _as_field_int(ranks + 1), a, b)
+    one = F.ones(())[None, :]
+    reads = jnp.where(is_lkp[:, None], reads, one)
+    writes = jnp.where(is_lkp[:, None], writes, one)
+    return reads, writes
+
+
+def padded_table_values(tables, table_size: int, TS: int):
+    """[TS] uint64 public table values: each table zero-padded to
+    ``table_size``, the whole vector zero-padded to TS (pow2)."""
+    vals = jnp.concatenate([
+        jnp.pad(jnp.asarray(t, dtype=jnp.uint64), (0, table_size - len(t)))
+        for t in tables])
+    return jnp.pad(vals, (0, TS - vals.shape[0]))
+
+
+def lookup_table_sets(tables, counts, a, b, size: int, table_size: int,
+                      TS: int):
+    """(init [size, 2], final [size, 2]) over TS table slots (public
+    addresses/values; counts = committed final access counts; slots beyond
+    TS are the multiplicative identity 1, slots beyond the real tables are
+    real entries with value 0 / count 0 — they cancel between the two
+    sets)."""
+    tab_addr = jnp.arange(TS, dtype=jnp.int64)
+    tab_vals = padded_table_values(tables, table_size, TS)
+    tab_val_f = jnp.stack([tab_vals, jnp.zeros_like(tab_vals)], axis=-1)
+    counts = jnp.pad(counts.astype(jnp.int64), (0, TS - counts.shape[0]))
+    zero = jnp.zeros_like(tab_addr)
+    init = _rlc(_as_field_int(tab_addr), tab_val_f, _as_field_int(zero), a, b)
+    fin = _rlc(_as_field_int(tab_addr), tab_val_f, _as_field_int(counts),
+               a, b)
+    one = F.ones(())[None, :]
+    pad = size - TS
+    if pad > 0:
+        padv = jnp.broadcast_to(one, (pad, 2)).astype(jnp.uint64)
+        init = jnp.concatenate([init, padv], axis=0)
+        fin = jnp.concatenate([fin, padv], axis=0)
+    return init, fin
+
+
+def gc_streams_v2(tr: trc.Trace, ranks=None):
+    """Named streams for the v2 lookup-aware gate-consistency identity:
+      sa*(L+R-O) + sm*(L*R-O) = 0   plus the masked-lane consistency
+      Lm = lkp*L, Rm = lkp*R, Om = lkp*O
+    (lkpO and the lr0/lr1 weights of the reference identity disappear:
+    the masked lanes are committed directly in lpoly)."""
+    add = (tr.types == trc.T_ADD)
+    mul = (tr.types == trc.T_MUL)
+    lkp = (tr.types >= trc.T_LOOKUP0)
+    one = F.ones(())[None, :]
+    zero = jnp.zeros((1, 2), dtype=jnp.uint64)
+    sa = jnp.where(add[:, None], one, zero)
+    sm = jnp.where(mul[:, None], one, zero)
+    slkp = jnp.where(lkp[:, None], one, zero)
+    # M is UNMASKED L+R-O (the sa factor inside the (sa, M) group already
+    # zeroes non-add gates); its stream eval is the linear check L+R-O.
+    Mu = F.fsub(F.fadd(tr.val_l, tr.val_r), tr.val_o)
+    out = {"L": tr.val_l, "R": tr.val_r, "O": tr.val_o, "M": Mu,
+           "sa": sa, "sm": sm, "slkp": slkp,
+           "Lm": jnp.where(lkp[:, None], tr.val_l, zero),
+           "Rm": jnp.where(lkp[:, None], tr.val_r, zero),
+           "Om": jnp.where(lkp[:, None], tr.val_o, zero)}
+    return out
+
+
+GC2_NAMES = ("L", "R", "O", "M", "sa", "sm", "slkp", "Lm", "Rm", "Om")
+GC2_GROUPS = (("sa", "M"), ("sm", "L", "R"), ("sm", "O"),
+              ("Lm",), ("slkp", "L"),
+              ("Rm",), ("slkp", "R"),
+              ("Om",), ("slkp", "O"))
+
+
 __all__ = [
     "witness_values", "GateArrays", "gate_arrays", "gate_consistency_terms",
     "wiring_read_write_sets", "wiring_init_final_sets",
     "circuit_description", "lookup_ranks", "lookup_sets",
+    "C_ADD", "C_MUL", "C_LKP", "C_TID", "C_IDXL", "C_IDXR", "C_IDXO",
+    "C_ACCL", "C_ACCR", "C_FIDX", "C_FCNT", "C_FINP", "C_LANES",
+    "L_LM", "L_RM", "L_OM", "L_RANK",
+    "witness_lane_chunk", "circuit_lane_chunk", "lookup_lane_chunk",
+    "LookupRankStream", "wiring_rw_chunk", "wiring_if_chunk",
+    "lookup_rw_chunk", "lookup_table_sets", "padded_table_values",
+    "gc_streams_v2",
+    "GC2_NAMES", "GC2_GROUPS",
 ]

@@ -57,4 +57,36 @@ class Metrics:
 
 GLOBAL = Metrics()
 
-__all__ = ["Metrics", "GLOBAL"]
+
+def proof_size_kb(proof) -> float:
+    """Transmitted proof size in KB (the reference's ``Ps``, main.cpp:856).
+
+    Walks the proof pytree: every device array is transmitted data — field
+    elements are [..., 2] uint64 (16 B each), digests [..., 8] uint32
+    (32 B each), so ``nbytes`` is exactly the reference's accounting.
+    Host-side metadata (ints, tuples of ints, the timings dict) is free."""
+    import numpy as np
+
+    total = 0
+
+    def walk(x):
+        nonlocal total
+        if hasattr(x, "_fields"):            # NamedTuple
+            for name, v in zip(x._fields, x):
+                if name == "timings":
+                    continue
+                walk(v)
+        elif isinstance(x, dict):
+            for v in x.values():
+                walk(v)
+        elif isinstance(x, (list, tuple)):
+            for v in x:
+                walk(v)
+        elif hasattr(x, "nbytes") and hasattr(x, "dtype"):
+            total += int(x.nbytes)
+
+    walk(proof)
+    return total / 1024.0
+
+
+__all__ = ["Metrics", "GLOBAL", "proof_size_kb"]
