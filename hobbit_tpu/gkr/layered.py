@@ -20,15 +20,85 @@ from ..ops import field as F
 
 G_ADD = 0
 G_MUL = 1
+# Reference gate-type parity (inputCircuit.hpp:13-15, circuit.h:50-89):
+# every gate is the bilinear form  out = w * (a*uv + b*u + c*v + d)  with
+# per-type coefficient patterns (Sub/AntiSub/Naab/AntiNaab/Not/Xor) or
+# per-gate constants (Addc/Mulc).  Copy/Relay = (0,1,0,0); the reference's
+# AddMul (sum-of-products) is covered by Mul gates + the per-gate weight w
+# (custom_linear_comb, Orion_prover.cpp); subset ("dad") wiring is lowered
+# to relay chains by the builder (a documented structural deviation).
+G_SUB = 2        # u - v
+G_ANTISUB = 3    # v - u
+G_NAAB = 4       # (1 - u) * v
+G_ANTINAAB = 5   # u * (1 - v)
+G_ADDC = 6       # u + cst
+G_MULC = 7       # cst * u
+G_COPY = 8       # u            (Relay)
+G_NOT = 9        # 1 - u
+G_XOR = 10       # u + v - 2uv
 
 
 class GkrLayer(NamedTuple):
-    types: np.ndarray    # [m] int8 (G_ADD | G_MUL)
+    types: np.ndarray    # [m] int8 gate types
     u: np.ndarray        # [m] int64 left operand index (in layer below)
     v: np.ndarray        # [m] int64 right operand index
     w: object = None     # optional [m, 2] uint64 per-gate constant weight:
-                         # out = w * (V[u] op V[v])  (the reference Orion
+                         # out = w * (bilinear form)  (the reference Orion
                          # custom_linear_comb gates, Orion_prover.cpp)
+    cst: object = None   # optional [m, 2] per-gate constant (Addc/Mulc)
+
+
+_M1 = None  # P - 1 (minus one), filled lazily
+
+
+def _coeff_patterns():
+    """type -> (alpha, beta, gamma, delta) python field pairs."""
+    global _M1
+    if _M1 is None:
+        _M1 = (F.P - 1, 0)
+    one, zero, m1 = (1, 0), (0, 0), _M1
+    m2 = (F.P - 2, 0)
+    return {
+        G_ADD: (zero, one, one, zero),
+        G_MUL: (one, zero, zero, zero),
+        G_SUB: (zero, one, m1, zero),
+        G_ANTISUB: (zero, m1, one, zero),
+        G_NAAB: (m1, zero, one, zero),
+        G_ANTINAAB: (m1, one, zero, zero),
+        G_ADDC: (zero, one, zero, None),      # delta = cst
+        G_MULC: (zero, None, zero, zero),     # beta = cst
+        G_COPY: (zero, one, zero, zero),
+        G_NOT: (zero, m1, zero, one),
+        G_XOR: (m2, one, one, zero),
+    }
+
+
+def gate_coeffs(lyr: GkrLayer):
+    """[m, 2] arrays (alpha, beta, gamma, delta) with w folded in:
+    out = alpha*uv + beta*u + gamma*v + delta."""
+    m = len(lyr.types)
+    pats = _coeff_patterns()
+    out = []
+    cst = np.asarray(lyr.cst, dtype=np.uint64) if lyr.cst is not None \
+        else np.zeros((m, 2), dtype=np.uint64)
+    for slot in range(4):
+        arr = np.zeros((m, 2), dtype=np.uint64)
+        for t, pat in pats.items():
+            sel = lyr.types == t
+            if not sel.any():
+                continue
+            p = pat[slot]
+            if p is None:
+                arr[sel] = cst[sel]
+            else:
+                arr[sel] = np.asarray(p, dtype=np.uint64)
+        out.append(jnp.asarray(arr))
+    alpha, beta, gamma, delta = out
+    if lyr.w is not None:
+        wv = jnp.asarray(lyr.w)
+        alpha, beta, gamma, delta = (F.fmul(wv, alpha), F.fmul(wv, beta),
+                                     F.fmul(wv, gamma), F.fmul(wv, delta))
+    return alpha, beta, gamma, delta
 
 
 class LayeredCircuit(NamedTuple):
@@ -44,18 +114,19 @@ class LayeredCircuit(NamedTuple):
 
 
 def evaluate(circuit: LayeredCircuit, inputs):
-    """Evaluate all layers; returns list of value arrays [inputs, l0, ...]."""
+    """Evaluate all layers; returns list of value arrays [inputs, l0, ...].
+
+    Gate semantics: out = alpha*uv + beta*u + gamma*v + delta with the
+    per-type/per-gate coefficients of ``gate_coeffs`` (w folded in)."""
     vals = [inputs]
     cur = inputs
     for lyr in circuit.layers:
         vu = cur[jnp.asarray(lyr.u)]
         vv = cur[jnp.asarray(lyr.v)]
-        add_v = F.fadd(vu, vv)
-        mul_v = F.fmul(vu, vv)
-        cur = jnp.where((jnp.asarray(lyr.types) == G_ADD)[:, None],
-                        add_v, mul_v)
-        if lyr.w is not None:
-            cur = F.fmul(cur, jnp.asarray(lyr.w))
+        alpha, beta, gamma, delta = gate_coeffs(lyr)
+        cur = F.fadd(
+            F.fadd(F.fmul(alpha, F.fmul(vu, vv)), F.fmul(beta, vu)),
+            F.fadd(F.fmul(gamma, vv), delta))
         vals.append(cur)
     return vals
 
@@ -73,6 +144,7 @@ class LayeredBuilder:
         self.zero = (0, input_size)
         self.layers: List[List] = []     # per layer: [types, u, v] lists
         self._weights: dict = {}         # layer -> {gate: weight}
+        self._csts: dict = {}            # layer -> {gate: Addc/Mulc const}
 
     def _ensure_layer(self, li: int):
         while len(self.layers) < li:
@@ -107,11 +179,11 @@ class LayeredBuilder:
             self._zero_at[layer] = len(t) - 1
         return self._zero_at[layer]
 
-    def gate(self, gtype: int, a, b, w=None):
+    def gate(self, gtype: int, a, b, w=None, cst=None):
         """a, b: wire handles; returns handle in layer max(la, lb)+1.
 
         w: optional constant weight (field pair (re, im) or int): the gate
-        computes w * (a op b)."""
+        computes w * (bilinear form); cst: the Addc/Mulc constant."""
         target = max(a[0], b[0])
         ia = self._relay_to(a, target)
         ib = self._relay_to(b, target)
@@ -121,6 +193,8 @@ class LayeredBuilder:
         u.append(ia)
         v.append(ib)
         self._weights.setdefault(target, {})[len(t) - 1] = w
+        if cst is not None:
+            self._csts.setdefault(target, {})[len(t) - 1] = cst
         return (target + 1, len(t) - 1)
 
     def add(self, a, b):
@@ -134,10 +208,34 @@ class LayeredBuilder:
         return self.gate(G_ADD, a, self.zero, w=w)
 
     def sub(self, a, b):
-        """a - b == a + (p-1)*b needs a constant; model as a + neg(b) where
-        neg(b) = b * minus-one wire — requires a (-1) input; for the DSL we
-        lower sub to add(a, mul(b, minus_one_input))."""
-        raise NotImplementedError("lower sub at the DSL level")
+        """a - b (reference Minus/Sub gate)."""
+        return self.gate(G_SUB, a, b)
+
+    def antisub(self, a, b):
+        return self.gate(G_ANTISUB, a, b)
+
+    def naab(self, a, b):
+        """(1 - a) * b (reference Naab)."""
+        return self.gate(G_NAAB, a, b)
+
+    def antinaab(self, a, b):
+        return self.gate(G_ANTINAAB, a, b)
+
+    def xor_g(self, a, b):
+        """a xor b for boolean wires: a + b - 2ab."""
+        return self.gate(G_XOR, a, b)
+
+    def not_g(self, a):
+        return self.gate(G_NOT, a, self.zero)
+
+    def addc(self, a, c):
+        return self.gate(G_ADDC, a, self.zero, cst=c)
+
+    def mulc(self, a, c):
+        return self.gate(G_MULC, a, self.zero, cst=c)
+
+    def copy(self, a):
+        return self.gate(G_COPY, a, self.zero)
 
     def input_wire(self, i: int):
         return (0, i)
@@ -185,11 +283,20 @@ class LayeredBuilder:
                         w[gi] = (int(wv) % F.P, 0)
                     else:
                         w[gi] = (int(wv[0]), int(wv[1]))
+            cd = self._csts.get(li, {})
+            cst = None
+            if cd:
+                cst = np.zeros((len(t), 2), dtype=np.uint64)
+                for gi, cv in cd.items():
+                    if isinstance(cv, (int, np.integer)):
+                        cst[gi] = (int(cv) % F.P, 0)
+                    else:
+                        cst[gi] = (int(cv[0]), int(cv[1]))
             layers.append(GkrLayer(
                 types=np.asarray(t, dtype=np.int8),
                 u=np.asarray(u, dtype=np.int64),
                 v=np.asarray(v, dtype=np.int64),
-                w=w))
+                w=w, cst=cst))
         return LayeredCircuit(layers=tuple(layers),
                               input_size=self.input_size)
 
@@ -199,5 +306,7 @@ class LayeredBuilder:
         return jnp.concatenate([values, z], axis=0)
 
 
-__all__ = ["G_ADD", "G_MUL", "GkrLayer", "LayeredCircuit", "LayeredBuilder",
-           "evaluate"]
+__all__ = ["G_ADD", "G_MUL", "G_SUB", "G_ANTISUB", "G_NAAB", "G_ANTINAAB",
+           "G_ADDC", "G_MULC", "G_COPY", "G_NOT", "G_XOR",
+           "GkrLayer", "LayeredCircuit", "LayeredBuilder",
+           "evaluate", "gate_coeffs"]

@@ -5,18 +5,20 @@ reduced through two mixed sumchecks (reference in-memory GKR,
 ``prover_standard.cpp`` / the streaming per-layer ``prove_circuit(F)`` of
 ``prover.cpp:1674-1808``):
 
-phase 1 (over u):  claim = sum_u [ V(u) * (Amul + Aadd1)(u) + Aadd2(u) ]
-    Amul[u]  = sum_{mul gates (o,u,v)} W[o] * V[v]
-    Aadd1[u] = sum_{add gates} W[o]
-    Aadd2[u] = sum_{add gates} W[o] * V[v]
-phase 2 (over v):  proves the three A-evaluations at u*:
-    Amul(u*)  = sum_v mul2(v) V(v),   mul2[v] = sum_mul W[o] bu*[u]
-    Aadd1(u*) = sum_v add2(v),        add2[v] = sum_add W[o] bu*[u]
-    Aadd2(u*) = sum_v add2(v) V(v)
+Every gate is the bilinear form out = a*uv + b*u + c*v + d (all 14
+reference gate families, see ``layered.gate_coeffs``); per layer with
+per-gate coefficients a_g..d_g = W[o] * (alpha..delta):
 
-mul2~(v*) and add2~(v*) are evaluations of static wiring predicates that
-the verifier recomputes directly (O(layer) transparent work — the
-reference's inline-verifier model).  The two next-layer claims V(u*), V(v*)
+phase 1 (over u):  claim = sum_u [ V(u) * G1(u) + G2(u) ]
+    G1[u] = sum_{gates with left u} (a_g * V[v] + b_g)   (= T_a + T_b)
+    G2[u] = sum_{gates with left u} (c_g * V[v] + d_g)   (= T_c + T_d)
+phase 2 (over v):  proves the four table evaluations at u*:
+    T_a(u*) = sum_v a2(v) V(v),   a2[v] = sum_g a_g bu*[u_g]
+    T_b(u*) = sum_v b2(v)         (and c2/d2 likewise)
+
+a2~(v*)..d2~(v*) are evaluations of static wiring predicates that the
+verifier recomputes directly (O(layer) transparent work — the reference's
+inline-verifier model).  The two next-layer claims V(u*), V(v*)
 merge via random (a0, a1) into the next weight vector
 W' = a0*eq(u*) + a1*eq(v*).
 
@@ -39,7 +41,7 @@ from ..ops import mimc, poly
 from . import layered
 
 P1_GROUPS = (("V", "G1"), ("G2",))
-P2_GROUPS = (("V", "mul2"), ("add2",), ("V", "add2"))
+P2_GROUPS = (("V", "a2"), ("b2",), ("V", "c2"), ("d2",))
 
 
 class LayerMeta(NamedTuple):
@@ -52,7 +54,7 @@ class LayerMeta(NamedTuple):
 class GkrLayerProof(NamedTuple):
     p1: sc.MixedSumcheckProof
     p2: sc.MixedSumcheckProof
-    a_evals: jnp.ndarray    # [3, 2] (Amul, Aadd1, Aadd2) at u*
+    a_evals: jnp.ndarray    # [4, 2] (T_a, T_b, T_c, T_d) at u*
 
 
 class GkrProof(NamedTuple):
@@ -119,31 +121,26 @@ def prove(circuit: layered.LayeredCircuit, inputs, state,
         lyr = circuit.layers[i]
         meta = metas[i]
         V = _pad(vals[i], meta.n_below)
-        is_add = (jnp.asarray(lyr.types) == layered.G_ADD)
         Wg = _pad(W, len(lyr.types))[: len(lyr.types)]
-        if lyr.w is not None:
-            Wg = F.fmul(Wg, jnp.asarray(lyr.w))
-
-        Vv = vals[i][...]  # not needed; V of layer below:
-        V_below = vals[i]
-        Vv_gate = vals[i][jnp.asarray(lyr.v)] if i >= 0 else None
-        # value of the right operand per gate (from layer below)
+        alpha, beta_c, gamma, delta = layered.gate_coeffs(lyr)
+        a_g = F.fmul(alpha, Wg)
+        b_g = F.fmul(beta_c, Wg)
+        c_g = F.fmul(gamma, Wg)
+        d_g = F.fmul(delta, Wg)
         Vv_gate = vals[i][jnp.asarray(lyr.v)]
-
-        wmul = jnp.where(is_add[:, None], jnp.zeros((1, 2), jnp.uint64), Wg)
-        wadd = jnp.where(is_add[:, None], Wg, jnp.zeros((1, 2), jnp.uint64))
 
         ou = meta.order_u
         du = jnp.asarray(lyr.u[ou])
-        Amul = expanders.modular_scatter(
-            du, F.fmul(wmul, Vv_gate)[ou], meta.n_below)
-        Aadd1 = expanders.modular_scatter(du, wadd[ou], meta.n_below)
-        Aadd2 = expanders.modular_scatter(
-            du, F.fmul(wadd, Vv_gate)[ou], meta.n_below)
+        T_a = expanders.modular_scatter(
+            du, F.fmul(a_g, Vv_gate)[ou], meta.n_below)
+        T_b = expanders.modular_scatter(du, b_g[ou], meta.n_below)
+        T_c = expanders.modular_scatter(
+            du, F.fmul(c_g, Vv_gate)[ou], meta.n_below)
+        T_d = expanders.modular_scatter(du, d_g[ou], meta.n_below)
 
         ones2 = jnp.stack([F.scalar(1), F.scalar(1)])
         p1, state = sc.prove_mixed(
-            {"V": V, "G1": F.fadd(Amul, Aadd1), "G2": Aadd2},
+            {"V": V, "G1": F.fadd(T_a, T_b), "G2": F.fadd(T_c, T_d)},
             P1_GROUPS, ones2, state)
         u_star = p1.challenges
         V_u = p1.final_evals["V"]
@@ -153,17 +150,22 @@ def prove(circuit: layered.LayeredCircuit, inputs, state,
         bu_gate = beta_u[jnp.asarray(lyr.u)]
         ov = meta.order_v
         dv = jnp.asarray(lyr.v[ov])
-        mul2 = expanders.modular_scatter(
-            dv, F.fmul(wmul, bu_gate)[ov], meta.n_below)
-        add2 = expanders.modular_scatter(
-            dv, F.fmul(wadd, bu_gate)[ov], meta.n_below)
+        a2 = expanders.modular_scatter(
+            dv, F.fmul(a_g, bu_gate)[ov], meta.n_below)
+        b2 = expanders.modular_scatter(
+            dv, F.fmul(b_g, bu_gate)[ov], meta.n_below)
+        c2 = expanders.modular_scatter(
+            dv, F.fmul(c_g, bu_gate)[ov], meta.n_below)
+        d2 = expanders.modular_scatter(
+            dv, F.fmul(d_g, bu_gate)[ov], meta.n_below)
 
         a_evals = jnp.stack([
-            F.fdot(mul2, V), F.fsum(add2), F.fdot(add2, V)])
+            F.fdot(a2, V), F.fsum(b2), F.fdot(c2, V), F.fsum(d2)])
         state = mimc.absorb(state, a_evals)
-        state, w3 = mimc.squeeze(state, 3)
+        state, w4 = mimc.squeeze(state, 4)
         p2, state = sc.prove_mixed(
-            {"V": V, "mul2": mul2, "add2": add2}, P2_GROUPS, w3, state)
+            {"V": V, "a2": a2, "b2": b2, "c2": c2, "d2": d2},
+            P2_GROUPS, w4, state)
         v_star = p2.challenges
         V_v = p2.final_evals["V"]
 
@@ -219,17 +221,18 @@ def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state,
         V_u = lp.p1.final_evals["V"]
 
         state = mimc.absorb(state, lp.a_evals)
-        # G1(u*) and G2(u*) must match the phase-2-proven A evals
+        # G1(u*) and G2(u*) must match the phase-2-proven table evals
         ok = jnp.logical_and(ok, F.feq(
             lp.p1.final_evals["G1"], F.fadd(lp.a_evals[0], lp.a_evals[1])))
-        ok = jnp.logical_and(ok, F.feq(lp.p1.final_evals["G2"],
-                                       lp.a_evals[2]))
-        state, w3 = mimc.squeeze(state, 3)
-        combined = F.fadd(
-            F.fadd(F.fmul(w3[0], lp.a_evals[0]), F.fmul(w3[1], lp.a_evals[1])),
-            F.fmul(w3[2], lp.a_evals[2]))
+        ok = jnp.logical_and(ok, F.feq(
+            lp.p1.final_evals["G2"], F.fadd(lp.a_evals[2], lp.a_evals[3])))
+        state, w4 = mimc.squeeze(state, 4)
+        combined = None
+        for j in range(4):
+            t = F.fmul(w4[j], lp.a_evals[j])
+            combined = t if combined is None else F.fadd(combined, t)
         okp2, v_star, state = sc.verify_mixed(lp.p2, combined, P2_GROUPS,
-                                              w3, state)
+                                              w4, state)
         ok = jnp.logical_and(ok, okp2)
         V_v = lp.p2.final_evals["V"]
 
@@ -237,19 +240,14 @@ def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state,
         beta_u = poly.beta_table(u_star)
         beta_v = poly.beta_table(v_star)
         Wg = W[: len(lyr.types)]
-        if lyr.w is not None:
-            Wg = F.fmul(Wg, jnp.asarray(lyr.w))
-        is_add = (lyr.types == layered.G_ADD)
+        alpha, beta_c, gamma, delta = layered.gate_coeffs(lyr)
         bu = beta_u[jnp.asarray(lyr.u)]
         bv = beta_v[jnp.asarray(lyr.v)]
-        wmul = jnp.where(jnp.asarray(is_add)[:, None],
-                         jnp.zeros((1, 2), jnp.uint64), Wg)
-        wadd = jnp.where(jnp.asarray(is_add)[:, None], Wg,
-                         jnp.zeros((1, 2), jnp.uint64))
-        mul2_eval = F.fsum(F.fmul(F.fmul(wmul, bu), bv))
-        add2_eval = F.fsum(F.fmul(F.fmul(wadd, bu), bv))
-        ok = jnp.logical_and(ok, F.feq(lp.p2.final_evals["mul2"], mul2_eval))
-        ok = jnp.logical_and(ok, F.feq(lp.p2.final_evals["add2"], add2_eval))
+        bub = F.fmul(bu, bv)
+        for name, coeff in (("a2", alpha), ("b2", beta_c),
+                            ("c2", gamma), ("d2", delta)):
+            pred = F.fsum(F.fmul(F.fmul(coeff, Wg), bub))
+            ok = jnp.logical_and(ok, F.feq(lp.p2.final_evals[name], pred))
 
         state = mimc.absorb(state, jnp.stack([V_u, V_v]))
         state, a01 = mimc.squeeze(state, 2)

@@ -83,3 +83,44 @@ def test_gkr_deep_circuit():
     assert bool(ok)
     np.testing.assert_array_equal(
         np.asarray(claim), np.asarray(F.fdot(W, inputs[: W.shape[0]])))
+
+
+def test_gkr_all_gate_types():
+    """Reference gate-type parity (inputCircuit.hpp:13-15): every bilinear
+    gate family proves and verifies through the two-phase GKR."""
+    from hobbit_tpu.gkr import layered as L
+    b = L.LayeredBuilder(4)
+    x0, x1, x2, x3 = (b.input_wire(i) for i in range(4))
+    s = b.sub(x0, x1)               # x0 - x1
+    a = b.antisub(x0, x1)           # x1 - x0
+    n = b.naab(x2, x3)              # (1-x2)*x3
+    an = b.antinaab(x2, x3)         # x2*(1-x3)
+    c1 = b.addc(x0, 7)              # x0 + 7
+    c2 = b.mulc(x1, 5)              # 5*x1
+    cp = b.copy(x2)
+    nt = b.not_g(x3)
+    xr = b.xor_g(x2, x3)
+    t = b.sum_tree([s, a, n, an, c1, c2, cp, nt, xr])
+    circ = b.build()
+
+    rng = np.random.default_rng(5)
+    raw = rng.integers(0, 2, size=4, dtype=np.uint64)   # booleans for xor
+    raw[0] = 11
+    raw[1] = 3
+    x = b.make_inputs(F.make(raw, np.zeros_like(raw)))
+    vals = L.evaluate(circ, x)
+    # direct semantics check of the output gate
+    def fe(v):
+        return int(np.asarray(v)[0])
+    want = ((11 - 3) + (3 - 11) + (1 - raw[2]) * raw[3]
+            + raw[2] * (1 - raw[3]) + (11 + 7) + 5 * 3 + raw[2]
+            + (1 - raw[3]) + (raw[2] ^ raw[3])) % F.P
+    out = vals[-1]
+    got = fe(out[np.argmax(np.asarray(out[:, 0]) >= 0)])  # single live gate?
+    # find the sum-tree root: it is the last gate of the last layer
+    assert fe(out[-1]) == want % F.P
+
+    proof, _ = prover.prove(circ, x, mimc.fresh_state())
+    ok, W, claim, _ = prover.verify(proof, circ, mimc.fresh_state())
+    assert bool(ok)
+    assert bool(F.feq(claim, F.fdot(W, x)))
