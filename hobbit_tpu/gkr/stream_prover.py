@@ -57,21 +57,9 @@ class LayerOracle:
                 [V, jnp.zeros((self.n - V.shape[0], 2), jnp.uint64)])
         self._V = V
 
-        is_add = (jnp.asarray(lyr.types) == layered.G_ADD)
         Wg = W[: len(lyr.types)]
-        if lyr.w is not None:
-            Wg = F.fmul(Wg, jnp.asarray(lyr.w))
-        Vv_gate = vals[i][jnp.asarray(lyr.v)]
-        wmul = jnp.where(is_add[:, None], jnp.zeros((1, 2), jnp.uint64), Wg)
-        wadd = jnp.where(is_add[:, None], Wg, jnp.zeros((1, 2), jnp.uint64))
-        ou = np.argsort(lyr.u, kind="stable")
-        du = jnp.asarray(lyr.u[ou])
-        Amul = expanders.modular_scatter(du, F.fmul(wmul, Vv_gate)[ou], self.n)
-        Aadd1 = expanders.modular_scatter(du, wadd[ou], self.n)
-        Aadd2 = expanders.modular_scatter(du, F.fmul(wadd, Vv_gate)[ou],
-                                          self.n)
-        self._G1 = F.fadd(Amul, Aadd1)
-        self._G2 = Aadd2
+        from . import stream_circuit as scirc
+        self._G1, self._G2 = scirc._phase1_tables(lyr, Wg, self.n, vals[i])
         self._ones = jnp.zeros((self.n, 2), jnp.uint64).at[:, 0].set(1)
 
     def v_chunk(self, B):

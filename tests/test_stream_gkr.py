@@ -44,3 +44,55 @@ def test_stream_layer_matches_direct():
     okb, *_ = sp.verify_layer(proof, F.fadd(claim, F.scalar(1)),
                               mimc.fresh_state())
     assert not bool(okb)
+
+
+def test_stream_circuit_full_chain():
+    """Full streaming GKR circuit driver (prove_circuit(F) analog,
+    prover.cpp:1674-1808): chained phase-1/phase-2 claims across every
+    layer on the compressed-round engine."""
+    from hobbit_tpu.gkr import stream_circuit as scirc
+
+    rng = np.random.default_rng(9)
+    ckt, b = dsl.test_circuit(6, 4)
+    x = _rf(rng, ckt.input_size)
+
+    proof, _ = scirc.prove_circuit(ckt, x, mimc.fresh_state(), B=16, c=2)
+    ok, W, claim, _ = scirc.verify_circuit(proof, ckt, mimc.fresh_state(),
+                                           B=16, c=2)
+    assert bool(ok)
+    # input binding: claim == <W, inputs>
+    assert bool(F.feq(claim, F.fdot(W, x)))
+
+    # tamper: corrupt a round polynomial -> reject
+    lp0 = proof.layer_proofs[0]
+    if lp0.p1.round_evals:
+        re0 = lp0.p1.round_evals[0].at[0, 0].add(np.uint64(1))
+        bad_p1 = lp0.p1._replace(round_evals=(re0,) + lp0.p1.round_evals[1:])
+        bad = proof._replace(layer_proofs=(
+            lp0._replace(p1=bad_p1),) + proof.layer_proofs[1:])
+    else:
+        bad = proof._replace(input_eval=F.fadd(proof.input_eval,
+                                               F.scalar(1)))
+    okb, _, _, _ = scirc.verify_circuit(bad, ckt, mimc.fresh_state(),
+                                        B=16, c=2)
+    assert not bool(okb)
+
+
+def test_stream_circuit_all_gates():
+    """Streaming driver over the full gate-type family."""
+    from hobbit_tpu.gkr import stream_circuit as scirc
+    from hobbit_tpu.gkr import layered as L
+
+    b = L.LayeredBuilder(4)
+    x0, x1, x2, x3 = (b.input_wire(i) for i in range(4))
+    t = b.sum_tree([b.sub(x0, x1), b.naab(x2, x3), b.xor_g(x2, x3),
+                    b.addc(x0, 3), b.mulc(x1, 9), b.not_g(x3)])
+    ckt = b.build()
+    raw = np.array([7, 2, 1, 0], dtype=np.uint64)
+    x = b.make_inputs(F.make(raw, np.zeros_like(raw)))
+
+    proof, _ = scirc.prove_circuit(ckt, x, mimc.fresh_state(), B=8, c=1)
+    ok, W, claim, _ = scirc.verify_circuit(proof, ckt, mimc.fresh_state(),
+                                           B=8, c=1)
+    assert bool(ok)
+    assert bool(F.feq(claim, F.fdot(W, x)))
