@@ -84,7 +84,13 @@ from ..utils.jitting import maybe_jit
 @maybe_jit
 def _chunk_step(beta, folds, cur, C, state):
     """One fold-phase chunk: terms, FS absorb/squeeze, claim + fold update.
-    One compiled kernel per shape — a single dispatch per streamed chunk."""
+    One compiled kernel per shape — a single dispatch per streamed chunk.
+    With an active mesh the B axis shards over every device (the per-chunk
+    K-terms are segmented reductions; XLA inserts the psum)."""
+    from ..parallel import mesh as meshmod
+    beta = meshmod.shard_leading(beta)
+    folds = {a: meshmod.shard_leading(v) for a, v in folds.items()}
+    cur = {a: meshmod.shard_leading(v) for a, v in cur.items()}
     terms = _chunk_terms(beta, folds, cur)
     state = mimc.absorb(state, terms)
     state, w = mimc.squeeze1(state)

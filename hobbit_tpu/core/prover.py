@@ -154,8 +154,16 @@ def commit_circuit(program: trc.CircuitProgram, config: HobbitConfig,
         return views.circuit_lane_chunk(program, i * gates_B,
                                         (i + 1) * gates_B)
 
-    com = elastic.commit_stream(chunk_fn, params)
+    # resident fast path only for moderate sizes; larger circuits stream
+    # the static lanes chunk by chunk (O(B) resident)
+    full = _cpoly_full(program, g) if length <= (1 << 24) else None
+    com = elastic.commit_stream(chunk_fn, params, full=full)
     return com, params
+
+
+def _cpoly_full(program: trc.CircuitProgram, g: Geometry):
+    """Resident [16*np2, 2] cpoly (single host->device transfer)."""
+    return views.circuit_lane_chunk(program, 0, g.np2)
 
 
 # ---------------------------------------------------------------------------
@@ -191,11 +199,14 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     f_params = _pc_params(g.np2, config, pc_rows)
     w_gates = w_params.B // 4
 
+    wpoly_full = fpoly_full = lpoly_full = None
     if not streaming:
         tr = oracle.trace()
         tr_pad = trc._slice_pad(tr, 0, tr.num_gates, g.np2)
-        wpoly = views.witness_lane_chunk(tr_pad)
-        w_chunks = _chunked(wpoly, w_params.B)
+        wpoly_full = views.witness_lane_chunk(tr_pad)
+        w_chunks = _chunked(wpoly_full, w_params.B)
+        fpoly_full = jnp.pad(tr.fin_val,
+                             ((0, g.np2 - tr.num_wires), (0, 0)))
     else:
         def w_chunks_gen():
             got = 0
@@ -205,7 +216,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             for _ in range(w_params.K - got):
                 yield jnp.zeros((w_params.B, 2), jnp.uint64)
         w_chunks = _seq_chunks(w_chunks_gen, w_params.K)
-    w_com = elastic.commit_stream(w_chunks, w_params)
+    w_com = elastic.commit_stream(w_chunks, w_params, full=wpoly_full)
     state = _absorb_root(state, w_com.root)
 
     def f_chunks_gen():
@@ -217,7 +228,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         for _ in range(n_chunks - got):
             yield jnp.zeros((f_params.B, 2), jnp.uint64)
     f_chunks = _seq_chunks(f_chunks_gen, f_params.K)
-    f_com = elastic.commit_stream(f_chunks, f_params)
+    f_com = elastic.commit_stream(f_chunks, f_params, full=fpoly_full)
     state = _absorb_root(state, f_com.root)
 
     l_com = t_com = None
@@ -228,16 +239,21 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         l_gates = l_params.B // 4
         rank_state = views.LookupRankStream(g.num_tables, g.table_size)
 
-        def l_chunks_gen():
-            got = 0
-            for tr_c in oracle.gate_chunks(l_gates):
-                got += 1
-                ranks, _, _ = rank_state.chunk_ranks(tr_c)
-                yield views.lookup_lane_chunk(tr_c, ranks)
-            for _ in range(l_params.K - got):
-                yield jnp.zeros((l_params.B, 2), jnp.uint64)
-        l_chunks = _seq_chunks(l_chunks_gen, l_params.K)
-        l_com = elastic.commit_stream(l_chunks, l_params)
+        if not streaming:
+            ranks, _, _ = rank_state.chunk_ranks(tr_pad)
+            lpoly_full = views.lookup_lane_chunk(tr_pad, ranks)
+            l_chunks = _chunked(lpoly_full, l_params.B)
+        else:
+            def l_chunks_gen():
+                got = 0
+                for tr_c in oracle.gate_chunks(l_gates):
+                    got += 1
+                    ranks, _, _ = rank_state.chunk_ranks(tr_c)
+                    yield views.lookup_lane_chunk(tr_c, ranks)
+                for _ in range(l_params.K - got):
+                    yield jnp.zeros((l_params.B, 2), jnp.uint64)
+            l_chunks = _seq_chunks(l_chunks_gen, l_params.K)
+        l_com = elastic.commit_stream(l_chunks, l_params, full=lpoly_full)
         state = _absorb_root(state, l_com.root)
         counts = rank_state.final_counts()
 
@@ -246,7 +262,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
                            (0, g.TS - counts.shape[0]))
         counts_f = jnp.stack([counts_p, jnp.zeros_like(counts_p)], axis=-1)
         t_chunks = _chunked(counts_f, t_params.B)
-        t_com = elastic.commit_stream(t_chunks, t_params)
+        t_com = elastic.commit_stream(t_chunks, t_params, full=counts_f)
         state = _absorb_root(state, t_com.root)
     timings["commit"] = time.time() - t0
 
@@ -297,18 +313,22 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     pts = _opening_points(gc_proof, p_w, p_l, g, lookup_mode)
     w_open, state = elastic.open_stream_multi(
         w_chunks if not streaming else _seq_chunks(w_chunks_gen, w_params.K),
-        w_com, pts["w"], state)
+        w_com, pts["w"], state, full=wpoly_full)
     f_open, state = elastic.open_stream_multi(
-        _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state)
+        _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
+        full=fpoly_full)
 
     c_params = _pc_params(16 * g.np2, config, pc_rows)
     c_gates = c_params.B // 16
+    cpoly_full = _cpoly_full(program, g) \
+        if not streaming and 16 * g.np2 <= (1 << 26) else None
 
     def c_chunks(i):
         return views.circuit_lane_chunk(program, i * c_gates,
                                         (i + 1) * c_gates)
     c_open, state = elastic.open_stream_multi(c_chunks, circuit_com,
-                                              pts["c"], state)
+                                              pts["c"], state,
+                                              full=cpoly_full)
     l_open = t_open = None
     if lookup_mode:
         rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
@@ -324,9 +344,11 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             for _ in range(l_params.K - got):
                 yield jnp.zeros((l_params.B, 2), jnp.uint64)
         l_open, state = elastic.open_stream_multi(
-            _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state)
+            _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state,
+            full=lpoly_full)
         t_open, state = elastic.open_stream_multi(
-            _chunked(counts_f, t_params.B), t_com, pts["t"], state)
+            _chunked(counts_f, t_params.B), t_com, pts["t"], state,
+            full=counts_f)
     timings["open"] = time.time() - t0
 
     proof = CircuitProof(

@@ -73,28 +73,21 @@ import functools
 from ..utils.jitting import maybe_jit
 
 
-@functools.lru_cache(maxsize=None)
-def _level_builder(backend: str):
-    _, pairs = _BACKENDS[backend]
-
-    @maybe_jit
-    def build(leaves):
-        levels = [leaves]
-        cur = leaves
-        while cur.shape[0] > 1:
-            cur = pairs(cur[0::2], cur[1::2])
-            levels.append(cur)
-        return tuple(levels)
-
-    return build
-
-
 def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
-    """Build a tree over [n, 8] uint32 leaf digests (n a power of two);
-    the whole level loop is one compiled kernel per (backend, n)."""
+    """Build a tree over [n, 8] uint32 leaf digests (n a power of two).
+
+    One jitted ``hash_pairs`` dispatch per level: the per-shape compress
+    kernels are shared by EVERY tree whose level widths match (a monolithic
+    whole-tree jit compiled a fresh ~log(n)-times-unrolled BLAKE3 graph per
+    (backend, n) — minutes of XLA:CPU compile each, with zero reuse)."""
     n = leaves.shape[0]
     assert n & (n - 1) == 0, "leaf count must be a power of two"
-    levels = _level_builder(backend)(leaves)
+    _, pairs = _BACKENDS[backend]
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[0] > 1:
+        cur = pairs(cur[0::2], cur[1::2])
+        levels.append(cur)
     return MerkleTree(levels=tuple(levels), backend=backend)
 
 
@@ -137,20 +130,25 @@ def open_leaf(tree: MerkleTree, index: int):
     return open_leaves(tree, [int(index)])[0]
 
 
-def open_leaves(tree: MerkleTree, indices):
-    """Batch open: [q, depth, 8].  One DEVICE gather per level — the
-    sibling digests are picked on-device and only the [q, depth, 8] result
-    ever crosses the link (pulling whole tree levels to the host costs
-    O(tree) transfer, fatal on remote-attached chips)."""
-    idx = np.asarray([int(i) for i in indices], dtype=np.int64)
-    if not tree.levels[:-1]:
-        return jnp.zeros((len(idx), 0, 8), dtype=jnp.uint32)
+@maybe_jit
+def _open_leaves_kernel(levels, idx):
     rows = []
     pos = idx
-    for level in tree.levels[:-1]:
-        rows.append(jnp.asarray(level)[jnp.asarray(pos ^ 1)])
+    for level in levels:
+        rows.append(level[pos ^ 1])
         pos = pos // 2
     return jnp.stack(rows, axis=1)
+
+
+def open_leaves(tree: MerkleTree, indices):
+    """Batch open: [q, depth, 8].  ALL levels gathered on device in one
+    compiled call — only the [q, depth, 8] result ever crosses the link
+    (pulling whole tree levels to the host costs O(tree) transfer, fatal
+    on remote-attached chips)."""
+    idx = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    if not tree.levels[:-1]:
+        return jnp.zeros((idx.shape[0], 0, 8), dtype=jnp.uint32)
+    return _open_leaves_kernel(tuple(tree.levels[:-1]), idx)
 
 
 def verify_leaf(root, leaf_digest, index: int, path,

@@ -45,4 +45,56 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-__all__ = ["make_mesh", "chunk_sharding", "row_sharding", "replicated", "P"]
+# ---------------------------------------------------------------------------
+# Active-mesh context: the real prover's kernels call ``shard_leading`` on
+# their big per-chunk arrays; with a mesh active the leading axis is
+# sharded over every device (XLA inserts the psum/all-gather collectives at
+# the reduction/reshape boundaries), without one they are no-ops — the SAME
+# driver code runs single-chip or on a slice.
+# ---------------------------------------------------------------------------
+
+import contextlib
+
+_ACTIVE: Mesh | None = None
+
+
+def active() -> Mesh | None:
+    return _ACTIVE
+
+
+@contextlib.contextmanager
+def use_mesh(mesh: Mesh):
+    """Activate a mesh for the enclosed prover calls.
+
+    NOTE: jitted kernels trace the constraint in, so a process should
+    either run meshed or unmeshed (toggling re-traces via the epoch salt
+    in the jit cache keys of the fold kernels)."""
+    global _ACTIVE
+    prev = _ACTIVE
+    _ACTIVE = mesh
+    # deliberately NOT entering `with mesh:` — an ambient mesh makes EVERY
+    # jit partition for all devices (minutes-long compiles for kernels
+    # that gain nothing); the explicit NamedSharding constraints in
+    # shard_leading carry the mesh themselves, so only the annotated
+    # kernels are laid out across devices.
+    try:
+        yield mesh
+    finally:
+        _ACTIVE = prev
+
+
+def shard_leading(x):
+    """Shard axis 0 over all mesh devices (identity without a mesh or when
+    the axis does not divide)."""
+    m = _ACTIVE
+    if m is None:
+        return x
+    total = int(np.prod([m.shape[a] for a in m.axis_names]))
+    if x.ndim == 0 or x.shape[0] % total:
+        return x
+    spec = P(tuple(m.axis_names),) + (None,) * (x.ndim - 1)
+    return jax.lax.with_sharding_constraint(x, NamedSharding(m, spec))
+
+
+__all__ = ["make_mesh", "chunk_sharding", "row_sharding", "replicated",
+           "P", "use_mesh", "active", "shard_leading"]

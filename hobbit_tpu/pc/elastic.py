@@ -25,6 +25,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import blake3
@@ -61,16 +62,97 @@ def _zero_leaf_update(params: std.TensorPCParams):
     return zero_groups
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _full_commit_kernel(params: std.TensorPCParams):
+    """Whole-commit kernel for a RESIDENT polynomial: lax.scan over the
+    chunks inside ONE compiled call (each per-chunk dispatch costs real
+    latency on remote-attached chips)."""
+    from ..utils.jitting import maybe_jit
+
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    num_leaves = (2 * params.rows // 4) * (2 * params.cols)
+
+    @maybe_jit
+    def run(full):
+        from ..parallel import mesh as meshmod
+        chunks = full.reshape(params.K, params.B, 2)
+
+        def body(prev, chunk):
+            codeword = enc.tensor_encode(spec, meshmod.shard_leading(chunk))
+            return blake3.hash_chained_leaf(std._leaf_groups(codeword),
+                                            prev), None
+
+        prev, _ = jax.lax.scan(
+            body, jnp.zeros((num_leaves, 8), dtype=jnp.uint32), chunks)
+        return prev
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _full_open_kernels(params: std.TensorPCParams):
+    """(aggr_fn, reply_fn) for resident polynomials: single-dispatch
+    aggregation and query-reply passes (scan over chunks)."""
+    from ..utils.jitting import maybe_jit
+
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+
+    @maybe_jit
+    def aggr_fn(full, betas):
+        chunks = full.reshape(params.K, params.B, 2)
+
+        def body(acc, xs):
+            b, chunk = xs          # b [P, 2], chunk [B, 2]
+            return F.fadd(acc, F.fmul(b[:, None, :], chunk[None])), None
+
+        P = betas.shape[0]
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((P, params.B, 2), dtype=jnp.uint64),
+            (jnp.moveaxis(betas, 0, 1), chunks))
+        return acc
+
+    @maybe_jit
+    def reply_fn(full, lid):
+        from ..parallel import mesh as meshmod
+        chunks = full.reshape(params.K, params.B, 2)
+
+        def body(_, chunk):
+            codeword = enc.tensor_encode(spec, meshmod.shard_leading(chunk))
+            return None, std._leaf_groups(codeword)[lid]
+
+        _, rep = jax.lax.scan(body, None, chunks)   # [K, q, 4, 2]
+        return jnp.moveaxis(rep, 0, 1)              # [q, K, 4, 2]
+
+    return aggr_fn, reply_fn
+
+
 def commit_stream(chunk_fn: Callable[[int], jnp.ndarray],
                   params: std.TensorPCParams,
-                  zero_from: Optional[int] = None) -> ElasticCommitment:
+                  zero_from: Optional[int] = None,
+                  full=None) -> ElasticCommitment:
     """chunk_fn(i) -> [B, 2] chunk i of the coefficient stream.
 
     zero_from: chunks >= this index are all-zero (padding) — they take the
     fast path.  Only O(B) state is resident at any time; the per-chunk
     encode + chained-leaf update is one compiled kernel.
+
+    full: optional RESIDENT [N, 2] coefficient array — the whole commit
+    runs as one compiled scan (identical tree/transcript).
     """
     from ..utils.jitting import maybe_jit
+
+    if full is not None:
+        prev = _full_commit_kernel(params)(full)
+        num_leaves = prev.shape[0]
+        if num_leaves & (num_leaves - 1):
+            pad = (1 << int(np.ceil(np.log2(num_leaves)))) - num_leaves
+            prev = jnp.concatenate(
+                [prev, jnp.zeros((pad, 8), dtype=prev.dtype)], axis=0)
+        return ElasticCommitment(tree=merkle.build_from_digests(prev),
+                                 params=params)
 
     spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
     num_leaves = (2 * params.rows // 4) * (2 * params.cols)
@@ -314,8 +396,10 @@ class ElasticMultiOpening(NamedTuple):
 
 
 def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
-                      com: ElasticCommitment, points, state):
-    """Open at every point in `points` (list of [log2 N, 2]); two passes."""
+                      com: ElasticCommitment, points, state, full=None):
+    """Open at every point in `points` (list of [log2 N, 2]); two passes.
+    ``full``: optional resident coefficient array — both passes run as one
+    compiled scan each (identical transcript)."""
     from ..utils.jitting import maybe_jit
 
     params = com.params
@@ -324,14 +408,18 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
     P = len(points)
     betas = jnp.stack([poly.beta_table(x[lb:]) for x in points])  # [P, K, 2]
 
-    @maybe_jit
-    def _aggr_step(aggrs, b, chunk):
-        # aggrs [P, B, 2]; b [P, 2]
-        return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
+    if full is not None:
+        aggr_fn, reply_fn = _full_open_kernels(params)
+        aggrs = aggr_fn(full, betas)
+    else:
+        @maybe_jit
+        def _aggr_step(aggrs, b, chunk):
+            # aggrs [P, B, 2]; b [P, 2]
+            return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
 
-    aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
-    for i in range(params.K):
-        aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
+        aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
+        for i in range(params.K):
+            aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
     eval_claims = jnp.stack([poly.evaluate_vector(aggrs[p], points[p][:lb])
                              for p in range(P)])
 
@@ -345,13 +433,16 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
                 for r, c in zip(qrows, qcols)]
     lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
 
-    @maybe_jit
-    def _reply_step(chunk):
-        codeword = enc.tensor_encode(spec, chunk)
-        return std._leaf_groups(codeword)[lid]
+    if full is not None:
+        reply = reply_fn(full, lid)
+    else:
+        @maybe_jit
+        def _reply_step(chunk):
+            codeword = enc.tensor_encode(spec, chunk)
+            return std._leaf_groups(codeword)[lid]
 
-    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
-    reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
+        replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+        reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
     paths = merkle.open_leaves(com.tree, leaf_ids)
     return ElasticMultiOpening(
         eval_claims=eval_claims, aggrs=aggrs,

@@ -148,6 +148,159 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     ), state
 
 
+# ---------------------------------------------------------------------------
+# Multi-point opening: shared queries/replies/paths; per-point indicator +
+# FFT sumchecks and (above the threshold) per-point WHIR openings of one
+# shared WHIR commitment per point's aggregate.
+# ---------------------------------------------------------------------------
+
+class ShockwaveMultiOpening(NamedTuple):
+    eval_claims: jnp.ndarray         # [P, 2]
+    aggrs: Optional[jnp.ndarray]     # [P, cols, 2] transmitted (naive mode)
+    queries: Tuple[int, ...]
+    reply: jnp.ndarray               # [q, k, 2] shared columns
+    paths: jnp.ndarray
+    p1s: tuple                       # per point indicator sumchecks
+    p2s: tuple                       # per point FFT sumchecks
+    whir_roots: Optional[tuple] = None
+    wps_x: Optional[tuple] = None
+    wps_f: Optional[tuple] = None
+
+
+def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
+    """Open f at every point in `points`; queries/replies/Merkle shared."""
+    k, N = data.k, data.N
+    cols = N // k
+    lc = int(np.log2(cols))
+    P = len(points)
+    aggrs, aggr_tensors, claims = [], [], []
+    for x in points:
+        x_lo, x_hi = x[:lc], x[lc:]
+        beta_rows = poly.beta_table(x_hi)[:k]
+        aggr = F.fsum(F.fmul(beta_rows[:, None, :], data.matrix), axis=0)
+        aggrs.append(aggr)
+        aggr_tensors.append(
+            F.fsum(F.fmul(beta_rows[:, None, :], data.encoded), axis=0))
+        claims.append(poly.evaluate_vector(aggr, x_lo))
+    eval_claims = jnp.stack(claims)
+    state = mimc.absorb(state, eval_claims)
+
+    state, qs = mimc.squeeze(state, queries)
+    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
+    cols_vals = jnp.moveaxis(data.encoded, 0, 1)
+    reply = cols_vals[jnp.asarray(idx, dtype=jnp.int32)]
+    paths = merkle.open_leaves(data.outer, idx)
+
+    state, s = mimc.squeeze1(state)
+    indicator = _weighted_indicator(idx, s, 2 * cols)
+    p1s, p2s = [], []
+    for p in range(P):
+        p1, state = sc.prove_2product(aggr_tensors[p], indicator, state)
+        p2, _, state = fsc.prove_fft(aggrs[p], p1.challenges, state)
+        p1s.append(p1)
+        p2s.append(p2)
+
+    if cols > WHIR_THRESHOLD:
+        from . import whir
+        roots, wxs, wfs = [], [], []
+        for p in range(P):
+            wc = whir.commit(aggrs[p])
+            state = mimc.absorb(state,
+                                wc.root.astype(jnp.uint64).reshape(4, 2))
+            wp_x, _, state = whir.prove(wc, aggrs[p], points[p][:lc], state)
+            fpoint = p2s[p].inner.challenges
+            wp_f, _, state = whir.prove(wc, aggrs[p], fpoint[:lc], state)
+            roots.append(wc.root)
+            wxs.append(wp_x)
+            wfs.append(wp_f)
+        return ShockwaveMultiOpening(
+            eval_claims=eval_claims, aggrs=None, queries=idx, reply=reply,
+            paths=paths, p1s=tuple(p1s), p2s=tuple(p2s),
+            whir_roots=tuple(roots), wps_x=tuple(wxs), wps_f=tuple(wfs),
+        ), state
+
+    aggr_mat = jnp.stack(aggrs)
+    state = mimc.absorb(state, aggr_mat)
+    return ShockwaveMultiOpening(
+        eval_claims=eval_claims, aggrs=aggr_mat, queries=idx, reply=reply,
+        paths=paths, p1s=tuple(p1s), p2s=tuple(p2s),
+    ), state
+
+
+def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
+                 k: int, N: int, state, queries: int = QUERIES):
+    """Returns (ok, state)."""
+    cols = N // k
+    lc = int(np.log2(cols))
+    P = len(points)
+    ok = True
+
+    state = mimc.absorb(state, opening.eval_claims)
+    state, qs = mimc.squeeze(state, queries)
+    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
+    if idx != tuple(opening.queries):
+        return False, state
+
+    col_roots = _column_roots(jnp.moveaxis(opening.reply, 1, 0))
+    okm = merkle.verify_leaves_batch(data_root, col_roots, idx,
+                                     opening.paths)
+    ok = ok and bool(okm)
+
+    state, s = mimc.squeeze1(state)
+    spow = poly.powers(s, len(idx))
+    indicator = _weighted_indicator(idx, s, 2 * cols)
+    fpoints, msg_evals = [], []
+    for p in range(P):
+        x_hi = points[p][lc:]
+        beta_rows = poly.beta_table(x_hi)[:k]
+        comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
+        claim = F.fsum(F.fmul(spow, comb), axis=0)
+        okp, point, cur, state = sc.verify_product_sumcheck(
+            opening.p1s[p], claim, state, 2)
+        ok = ok and bool(okp)
+        ok = ok and bool(F.feq(opening.p1s[p].final_evals[1],
+                               poly.evaluate_vector(indicator, point)))
+        okf, fpoint, msg_eval, state = fsc.verify_fft(
+            opening.p2s[p], point, opening.p1s[p].final_evals[0], state)
+        ok = ok and bool(okf)
+        fpoints.append(fpoint)
+        msg_evals.append(msg_eval)
+
+    if opening.whir_roots is not None:
+        from . import whir
+        one = F.scalar(1)
+        for p in range(P):
+            state = mimc.absorb(
+                state, opening.whir_roots[p].astype(jnp.uint64).reshape(4, 2))
+            okx, state = whir.verify(opening.whir_roots[p], opening.wps_x[p],
+                                     points[p][:lc],
+                                     opening.eval_claims[p], state)
+            ok = ok and bool(okx)
+            y_f = F.fmul(msg_evals[p],
+                         F.finv(F.fsub(one, fpoints[p][lc])))
+            okw, state = whir.verify(opening.whir_roots[p], opening.wps_f[p],
+                                     fpoints[p][:lc], y_f, state)
+            ok = ok and bool(okw)
+        return ok, state
+
+    state = mimc.absorb(state, opening.aggrs)
+    for p in range(P):
+        aggr = opening.aggrs[p]
+        ok = ok and bool(F.feq(poly.evaluate_vector(aggr, points[p][:lc]),
+                               opening.eval_claims[p]))
+        padded = jnp.concatenate(
+            [aggr, jnp.zeros((2 * cols - aggr.shape[0], 2), jnp.uint64)])
+        ok = ok and bool(F.feq(poly.evaluate_vector(padded, fpoints[p]),
+                               msg_evals[p]))
+        enc_aggr = enc.rs_encode(aggr[None])[0]
+        x_hi = points[p][lc:]
+        beta_rows = poly.beta_table(x_hi)[:k]
+        comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
+        sel = enc_aggr[jnp.asarray(idx)]
+        ok = ok and bool(jnp.all(F.feq(comb, sel)))
+    return ok, state
+
+
 def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
            queries: int = QUERIES):
     """Returns (ok, state)."""
@@ -222,5 +375,6 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
     return ok, state
 
 
-__all__ = ["ShockwaveData", "ShockwaveOpening", "commit", "open", "verify",
+__all__ = ["ShockwaveData", "ShockwaveOpening", "ShockwaveMultiOpening",
+           "commit", "open", "verify", "open_multi", "verify_multi",
            "QUERIES"]

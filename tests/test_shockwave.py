@@ -116,3 +116,24 @@ def test_shockwave_whir_recursion_mode():
     okb, _ = sw.verify(data.outer.root, bad, x, k, N, mimc.fresh_state(),
                        queries=8)
     assert not bool(okb)
+
+
+def test_shockwave_multi_open():
+    """Multi-point opening: shared queries/replies/paths, per-point
+    indicator + FFT sumchecks."""
+    N, k = 1 << 10, 16
+    msg = rand_field(N)
+    data = sw.commit(msg, k=k)
+    pts = [rand_field(10), rand_field(10), rand_field(10)]
+    opening, _ = sw.open_multi(data, pts, mimc.fresh_state(), queries=40)
+    for p, x in enumerate(pts):
+        want = poly.evaluate_vector(msg, x)
+        assert bool(F.feq(opening.eval_claims[p], want))
+    ok, _ = sw.verify_multi(data.outer.root, opening, pts, k, N,
+                            mimc.fresh_state(), queries=40)
+    assert bool(ok)
+    bad = opening._replace(
+        eval_claims=opening.eval_claims.at[1, 0].add(np.uint64(1)))
+    okb, _ = sw.verify_multi(data.outer.root, bad, pts, k, N,
+                             mimc.fresh_state(), queries=40)
+    assert not bool(okb)
