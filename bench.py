@@ -166,6 +166,7 @@ def bench_e2e_sql(buffer_bits=19, log_n=17):
                                 circuit_com=ccom)
         warm = _t.time() - t0
         ps_kb = metrics.proof_size_kb(proof)
+        prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)  # compile
         t0 = _t.time()
         prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)
         vt = _t.time() - t0

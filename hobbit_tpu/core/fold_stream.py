@@ -37,6 +37,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import field as F
+from ..utils.jitting import maybe_jit
 from ..ops import mimc, poly
 from . import sumcheck as sc
 
@@ -203,6 +204,7 @@ def verify(proof: FoldStreamProof, B: int, r, state):
                             stream_evals=evals), state
 
 
+@maybe_jit
 def _eq_eval(r1, r2):
     one = F.scalar(1)
     acc = one

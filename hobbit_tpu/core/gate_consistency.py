@@ -235,6 +235,7 @@ def verify(proof: GateConsistencyProof, B: int, r, state):
     return GateConsistencyResult(ok=ok, point=point, stream_evals=evals), state
 
 
+@maybe_jit
 def _eq_eval(r1, r2):
     one = F.scalar(1)
     acc = one

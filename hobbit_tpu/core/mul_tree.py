@@ -164,6 +164,7 @@ def prove(vectors: Sequence[jnp.ndarray], state):
     ), state
 
 
+@maybe_jit
 def _beta_pair_eval(r1, r2):
     """eq(r1, r2) = prod_j ((1-r1_j)(1-r2_j) + r1_j r2_j)."""
     one = F.scalar(1)

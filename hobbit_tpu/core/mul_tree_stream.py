@@ -215,6 +215,7 @@ def _verify_level(lp: LevelProof, B: int, r, claim, state):
     return ok, new_point, new_claim, state
 
 
+@maybe_jit
 def _eq_eval(r1, r2):
     one = F.scalar(1)
     acc = one

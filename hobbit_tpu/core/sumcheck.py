@@ -417,9 +417,14 @@ def prove_mixed(arrays: dict, groups, weights, state):
     return MixedSumcheckProof(polys, chals, finals), state
 
 
+@maybe_jit(static_argnums=(2,))
 def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
     """Verify; returns (ok, point, state).  Checks round sums and that the
-    final combined product of per-group evals matches the last claim."""
+    final combined product of per-group evals matches the last claim.
+
+    Jitted per (shape, groups): the unrolled round replay is ~8 ops per
+    round — eager, every verify_mixed costs O(rounds) dispatches, which
+    dominated verifier wall-clock on remote-attached chips."""
     names = sorted(proof.final_evals.keys())
     rounds = proof.polys.shape[0]
     ok = jnp.array(True)

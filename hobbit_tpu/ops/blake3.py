@@ -53,18 +53,21 @@ def _g(v, a, b, c, d, mx, my):
     v[a], v[b], v[c], v[d] = va, vb, vc, vd
 
 
-@jax.jit
+from ..utils.jitting import maybe_jit
+
+
+@maybe_jit
 def compress64(m):
     """One BLAKE3 compression of a 64-byte single-chunk message.
 
     m: [..., 16] uint32 message words (little-endian packing of 64 bytes).
     Returns [..., 8] uint32 digest words.
 
-    Jitted at the primitive level: the unrolled 7-round graph (~450 ops)
-    compiles once per batch shape and is shared by every caller — leaving
-    it eager costs ~450 dispatches per call, and inlining it into big
-    unrolled callers (a whole Merkle tree) produced pathological
-    multi-minute XLA:CPU compiles."""
+    Jitted under HOBBIT_JIT (production/TPU): one dispatch per call, one
+    compile per batch shape shared by every caller.  Eager otherwise —
+    XLA:CPU takes MINUTES to compile the unrolled 7-round graph (the same
+    pathology that ruled out whole-tree Merkle jits), while eager
+    primitive dispatch is fast."""
     m = m.astype(u32)
     batch = m.shape[:-1]
     iv = jnp.asarray(IV)

@@ -70,7 +70,10 @@ def _compress(state, w16):
     return out + state
 
 
-@jax.jit
+from ..utils.jitting import maybe_jit
+
+
+@maybe_jit
 def hash64(m_le):
     """m_le: [..., 16] uint32 little-endian words of a 64B message ->
     [..., 8] uint32 digest words (little-endian memory order, matching the

@@ -62,7 +62,10 @@ def _keccak_f(lanes):
     return jnp.stack([A[i % 5][i // 5] for i in range(25)], axis=-1)
 
 
-@jax.jit
+from ..utils.jitting import maybe_jit
+
+
+@maybe_jit
 def hash64(m_words: jnp.ndarray) -> jnp.ndarray:
     """m_words: [..., 16] uint32 little-endian words of a 64B message ->
     [..., 8] uint32 digest words (the 32-byte __hhash_digest layout)."""

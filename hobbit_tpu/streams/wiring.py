@@ -95,8 +95,12 @@ def wiring_stream_factory(oracle: trc.TraceOracle, np2: int, B: int, a, b):
     [reads | writes | init | final], each of length 4*np2 (4-slot stride).
 
     Each set is one pass over the trace; reads/writes re-execute the gate
-    stream, init/final the death-ordered final stream."""
-    gates_B = min(max(1, B // 4), np2)
+    stream, init/final the death-ordered final stream.
+
+    Pieces cover B gates (4B set elements) each: transient piece memory is
+    still O(B) and the per-pass dispatch count — the cost that dominates on
+    remote-attached chips — drops 4x vs B-element pieces."""
+    gates_B = min(max(1, B), np2)
     n_gate_chunks = int(np.ceil(oracle.num_gates / gates_B))
     pad_gate = np2 // gates_B - n_gate_chunks
     n_fin_chunks = int(np.ceil(oracle.num_wires / gates_B))
@@ -128,8 +132,9 @@ def lookup_stream_factory(oracle: trc.TraceOracle, size_l: int, B: int,
     program = oracle.program
     num_tables = len(program.tables)
     # pad-gate elements and pure pad positions are both the identity 1, so
-    # only the TOTAL per-set length (size_l) matters for the pad count
-    gates_B = min(max(1, B), size_l)
+    # only the TOTAL per-set length (size_l) matters for the pad count;
+    # pieces of 4B elements cut the dispatch count (transient, still O(B))
+    gates_B = min(max(1, 4 * B), size_l)
     n_gate_chunks = int(np.ceil(oracle.num_gates / gates_B))
     pad_gate = size_l // gates_B - n_gate_chunks
 

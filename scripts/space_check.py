@@ -33,6 +33,7 @@ from hobbit_tpu.streams import trace as trc
 LOG_N = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 BB = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 BLOCK = int(sys.argv[3]) if len(sys.argv) > 3 else 1 << 13
+FUN = sys.argv[4] if len(sys.argv) > 4 else "fun6"
 
 
 import threading
@@ -54,11 +55,16 @@ class LivePeak:
         self._t = threading.Thread(target=self._run, daemon=True)
 
     def _run(self):
+        last = 0.0
         while not self._stop:
             try:
                 total = sum(int(np.prod(a.shape)) * a.dtype.itemsize
                             for a in jax.live_arrays())
                 self.peak = max(self.peak, total)
+                if time.time() - last > 60:
+                    last = time.time()
+                    print(f"  [live {total/2**20:.0f} MiB, "
+                          f"peak {self.peak/2**20:.0f} MiB]", flush=True)
             except Exception:
                 pass
             time.sleep(self.period)
@@ -74,12 +80,19 @@ class LivePeak:
 
 def main():
     cfg = HobbitConfig(buffer_bits=BB, pc_queries=64)
-    prog = C.fun6_sql_range_query(LOG_N, block_rows=BLOCK)
-    # ~4x LOG_N gates: 2 lookups + mul + sum tree per row
+    if FUN == "fun1":
+        # width BLOCK, depth to reach ~2^LOG_N+2 gates; no lookup tables
+        # (halves the streaming pass count: no lookup product argument)
+        depth = (1 << (LOG_N + 2)) // BLOCK - 1
+        prog = C.fun1_arbitrary(int(np.log2(BLOCK)), depth)
+        src = C.fun1_inputs(prog.num_inputs)
+    else:
+        # ~4x LOG_N gates: 2 lookups + mul + sum tree per row
+        prog = C.fun6_sql_range_query(LOG_N, block_rows=BLOCK)
+        src = trc.prng_input_source(prog.num_inputs, seed=3, small=256)
     print(f"gates={prog.num_gates} (2^{np.log2(prog.num_gates):.1f}) "
           f"wires={prog.num_wires} slots={prog.num_slots} "
-          f"buffer=2^{BB} block={BLOCK}", flush=True)
-    src = trc.prng_input_source(prog.num_inputs, seed=3, small=256)
+          f"buffer=2^{BB} block={BLOCK} fun={FUN}", flush=True)
 
     ccom, _ = prover.commit_circuit(prog, cfg, pc_rows=cfg.tensor_row_size)
     jax.block_until_ready(ccom.root)
