@@ -311,12 +311,13 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     # ---- 5. openings -----------------------------------------------------
     t0 = time.time()
     pts = _opening_points(gc_proof, p_w, p_l, g, lookup_mode)
-    w_open, state = elastic.open_stream_multi(
+    w_open, state = _open_multi(
         w_chunks if not streaming else _seq_chunks(w_chunks_gen, w_params.K),
-        w_com, pts["w"], state, full=wpoly_full)
-    f_open, state = elastic.open_stream_multi(
+        w_com, pts["w"], state, config, full=wpoly_full,
+        spec=_W_LANE_SPEC, lane_bits=2)
+    f_open, state = _open_multi(
         _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
-        full=fpoly_full)
+        config, full=fpoly_full)
 
     c_params = _pc_params(16 * g.np2, config, pc_rows)
     c_gates = c_params.B // 16
@@ -326,9 +327,9 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     def c_chunks(i):
         return views.circuit_lane_chunk(program, i * c_gates,
                                         (i + 1) * c_gates)
-    c_open, state = elastic.open_stream_multi(c_chunks, circuit_com,
-                                              pts["c"], state,
-                                              full=cpoly_full)
+    c_open, state = _open_multi(c_chunks, circuit_com, pts["c"], state,
+                                config, full=cpoly_full,
+                                spec=_c_lane_spec(lookup_mode), lane_bits=4)
     l_open = t_open = None
     if lookup_mode:
         rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
@@ -343,12 +344,12 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
                 yield views.lookup_lane_chunk(tr_c, ranks)
             for _ in range(l_params.K - got):
                 yield jnp.zeros((l_params.B, 2), jnp.uint64)
-        l_open, state = elastic.open_stream_multi(
+        l_open, state = _open_multi(
             _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state,
-            full=lpoly_full)
-        t_open, state = elastic.open_stream_multi(
+            config, full=lpoly_full, spec=_L_LANE_SPEC, lane_bits=2)
+        t_open, state = _open_multi(
             _chunked(counts_f, t_params.B), t_com, pts["t"], state,
-            full=counts_f)
+            config, full=counts_f)
     timings["open"] = time.time() - t0
 
     proof = CircuitProof(
@@ -470,6 +471,100 @@ def _materialized_lookup_flat(oracle, g: Geometry, a, b):
     return jnp.concatenate([reads, writes, init, fin], axis=0)
 
 
+# ---------------------------------------------------------------------------
+# Lane-evaluation points: every protocol check needs evaluations of the
+# committed lane polynomials at (lane bits || point tail).  Lane 0 of each
+# opened point IS the opening's eval claim; the nonzero lanes become
+# `extra_points` of the recursive multi-open (bound through the shared
+# shockwave commitment) or direct aggregate evaluations in naive mode.
+# ---------------------------------------------------------------------------
+
+_W_LANE_SPEC = ((0, 1), (0, 2), (1, 1), (1, 2))
+_L_LANE_SPEC = ((0, views.L_RM), (0, views.L_OM),
+                (1, views.L_RM), (1, views.L_OM), (1, views.L_RANK))
+
+
+def _c_lane_spec(lookup_mode: bool):
+    lanes = [(0, views.C_MUL)]
+    if lookup_mode:
+        lanes.append((0, views.C_LKP))
+    lanes += [(1, l) for l in (views.C_MUL, views.C_LKP, views.C_IDXL,
+                               views.C_IDXR, views.C_IDXO, views.C_ACCL,
+                               views.C_ACCR, views.C_FIDX, views.C_FCNT,
+                               views.C_FINP)]
+    if lookup_mode:
+        lanes += [(2, views.C_TID), (2, views.C_LKP)]
+    return tuple(lanes)
+
+
+def _lane_lo(point, lane: int, lane_bits: int, lb: int):
+    """Low-bits point for `lane`: lane bits replace the first lane_bits
+    coordinates of the opened point; truncate to the aggregate domain."""
+    bits = jnp.stack([F.scalar((lane >> j) & 1) for j in range(lane_bits)])
+    return jnp.concatenate([bits, point[lane_bits:]], axis=0)[:lb]
+
+
+def _extra_points(spec, pts_list, lane_bits: int, lb: int):
+    return tuple((pidx, _lane_lo(pts_list[pidx], lane, lane_bits, lb))
+                 for pidx, lane in spec)
+
+
+class _LaneEvals:
+    """ev(pidx, lane): bound lane evaluation of a multi-opened commitment.
+
+    Recursive mode reads the shockwave-bound extra claims; naive mode
+    evaluates the transmitted aggregates."""
+
+    def __init__(self, spec, opening, pts_list, lane_bits, lb, extra_evals):
+        self.spec = tuple(spec)
+        self.opening = opening
+        self.pts_list = pts_list
+        self.lane_bits = lane_bits
+        self.lb = lb
+        self.extra_evals = extra_evals
+
+    def __call__(self, pidx: int, lane: int):
+        if lane == 0:
+            return self.opening.eval_claims[pidx]
+        if self.extra_evals is not None:
+            return self.extra_evals[self.spec.index((pidx, lane))]
+        lo = _lane_lo(self.pts_list[pidx], lane, self.lane_bits, self.lb)
+        return poly.evaluate_vector(self.opening.aggrs[pidx], lo)
+
+
+def _open_multi(chunk_fn, com, pts_list, state, config: HobbitConfig,
+                full=None, spec=(), lane_bits: int = 0):
+    """Dispatch naive vs recursive multi-open per config.recursion."""
+    if config.recursion:
+        lb = int(np.log2(com.params.B))
+        return elastic.open_stream_multi_recursive(
+            chunk_fn, com, pts_list, state, full=full,
+            extra_points=_extra_points(spec, pts_list, lane_bits, lb),
+            sw_queries=config.shockwave_queries)
+    return elastic.open_stream_multi(chunk_fn, com, pts_list, state,
+                                     full=full)
+
+
+def _verify_multi(root, pts_list, opening, params, state,
+                  config: HobbitConfig, spec=(), lane_bits: int = 0):
+    """Returns (ok, lane_evals, state)."""
+    if config.recursion:
+        lb = int(np.log2(params.B))
+        extra = _extra_points(spec, pts_list, lane_bits, lb)
+        ok, extra_evals, state = elastic.verify_multi_recursive(
+            root, pts_list, opening, params, state, extra_points=extra,
+            sw_queries=config.shockwave_queries)
+        if not bool(ok):
+            return False, None, state
+        ev = _LaneEvals(spec, opening, pts_list, lane_bits,
+                        int(np.log2(params.B)), extra_evals)
+        return True, ev, state
+    ok, state = elastic.verify_multi(root, pts_list, opening, params, state)
+    ev = _LaneEvals(spec, opening, pts_list, lane_bits,
+                    int(np.log2(params.B)), None)
+    return bool(ok), ev, state
+
+
 def _opening_points(gc_proof, p_w, p_l, g: Geometry, lookup_mode: bool):
     """Per-commitment lists of full opening points."""
     zero = F.scalar(0)
@@ -564,43 +659,38 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     w_params = _pc_params(4 * g.np2, config, pc_rows)
     f_params = _pc_params(g.np2, config, pc_rows)
     c_params = _pc_params(16 * g.np2, config, pc_rows)
-    oko, state = elastic.verify_multi(proof.witness_root, pts["w"],
-                                      proof.w_open, w_params, state)
+    oko, wlane, state = _verify_multi(proof.witness_root, pts["w"],
+                                      proof.w_open, w_params, state, config,
+                                      spec=_W_LANE_SPEC, lane_bits=2)
     ok = ok and bool(oko)
-    oko, state = elastic.verify_multi(proof.final_root, pts["f"],
-                                      proof.f_open, f_params, state)
+    oko, _, state = _verify_multi(proof.final_root, pts["f"],
+                                  proof.f_open, f_params, state, config)
     ok = ok and bool(oko)
-    oko, state = elastic.verify_multi(circuit_root, pts["c"],
-                                      proof.c_open, c_params, state)
+    oko, clane, state = _verify_multi(circuit_root, pts["c"],
+                                      proof.c_open, c_params, state, config,
+                                      spec=_c_lane_spec(proof.lookup_mode),
+                                      lane_bits=4)
     ok = ok and bool(oko)
+    llane = None
     if proof.lookup_mode:
         l_params = _pc_params(4 * g.np2, config, pc_rows)
         t_params = _pc_params(g.TS, config, pc_rows)
-        oko, state = elastic.verify_multi(proof.lookup_root, pts["l"],
-                                          proof.l_open, l_params, state)
+        oko, llane, state = _verify_multi(proof.lookup_root, pts["l"],
+                                          proof.l_open, l_params, state,
+                                          config, spec=_L_LANE_SPEC,
+                                          lane_bits=2)
         ok = ok and bool(oko)
-        oko, state = elastic.verify_multi(proof.counts_root, pts["t"],
-                                          proof.t_open, t_params, state)
+        oko, _, state = _verify_multi(proof.counts_root, pts["t"],
+                                      proof.t_open, t_params, state, config)
         ok = ok and bool(oko)
+    if not ok:
+        return False, state
 
     # ---- lane evaluations ------------------------------------------------
-    # wpoly/cpoly/lpoly lane evals come from the transmitted aggregates:
-    # evaluating at (lane bits || tau_low) for each lane.
+    # lane 0 of each opened point is that opening's eval claim; nonzero
+    # lanes are recursion-bound extra claims (or, in naive mode, direct
+    # evaluations of the transmitted aggregates).
     tau_w = p_w[2:2 + g.log_np2]
-    lb_w = int(np.log2(w_params.B))
-    lb_c = int(np.log2(c_params.B))
-    lb_f = int(np.log2(f_params.B))
-
-    def wlane(pidx, lane):
-        full = jnp.concatenate(
-            [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
-             (pts["w"][pidx])[2:]], axis=0)
-        return poly.evaluate_vector(proof.w_open.aggrs[pidx], full[:lb_w])
-
-    def clane(pidx, lane):
-        bits = jnp.stack([F.scalar((lane >> j) & 1) for j in range(4)])
-        full = jnp.concatenate([bits, (pts["c"][pidx])[4:]], axis=0)
-        return poly.evaluate_vector(proof.c_open.aggrs[pidx], full[:lb_c])
 
     # ---- gate-consistency stream binding --------------------------------
     L_gc, R_gc, O_gc = wlane(0, 0), wlane(0, 1), wlane(0, 2)
@@ -613,16 +703,6 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         ok = ok and bool(F.feq(gc_evals["M"],
                                F.fsub(F.fadd(L_gc, R_gc), O_gc)))
         ok = ok and bool(F.feq(gc_evals["slkp"], clane(0, views.C_LKP)))
-
-        def llane(pidx, lane):
-            l_params = _pc_params(4 * g.np2, config, pc_rows)
-            lb_l = int(np.log2(l_params.B))
-            full = jnp.concatenate(
-                [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
-                 (pts["l"][pidx])[2:]], axis=0)
-            return poly.evaluate_vector(proof.l_open.aggrs[pidx],
-                                        full[:lb_l])
-
         ok = ok and bool(F.feq(gc_evals["Lm"], llane(0, views.L_LM)))
         ok = ok and bool(F.feq(gc_evals["Rm"], llane(0, views.L_RM)))
         ok = ok and bool(F.feq(gc_evals["Om"], llane(0, views.L_OM)))
@@ -648,8 +728,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         reads_e = F.fadd(reads_e, F.fmul(beta_s[s], term))
     writes_e = F.fadd(reads_e, F.fmul(
         b, F.fmul(F.fadd(F.fadd(beta_s[0], beta_s[1]), beta_s[2]), rgE)))
-    fvalE = poly.evaluate_vector(proof.f_open.aggrs[0],
-                                 tau_w[:lb_f])
+    fvalE = proof.f_open.eval_claims[0]
     fidxE = clane(1, views.C_FIDX)
     fcntE = clane(1, views.C_FCNT)
     finpE = clane(1, views.C_FINP)
@@ -670,17 +749,8 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         beta_vl = poly.beta_table(v_l)
         scale_np2 = _scale_high(tau_l, g.log_np2)
 
-        def llane2(lane):
-            l_params = _pc_params(4 * g.np2, config, pc_rows)
-            lb_l = int(np.log2(l_params.B))
-            full = jnp.concatenate(
-                [jnp.stack([F.scalar(lane & 1), F.scalar(lane >> 1)]),
-                 (pts["l"][1])[2:]], axis=0)
-            return poly.evaluate_vector(proof.l_open.aggrs[1],
-                                        full[:lb_l])
-
-        LmE, RmE = llane2(views.L_LM), llane2(views.L_RM)
-        OmE, rankE = llane2(views.L_OM), llane2(views.L_RANK)
+        LmE, RmE = llane(1, views.L_LM), llane(1, views.L_RM)
+        OmE, rankE = llane(1, views.L_OM), llane(1, views.L_RANK)
         tidE = clane(2, views.C_TID)
         lkpE = clane(2, views.C_LKP)
         addrE = F.fadd(F.fmul(F.scalar(g.table_size), tidE),
@@ -703,9 +773,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
             F.fmul(a[None, :],
                    jnp.stack([tab_vals, jnp.zeros_like(tab_vals)], axis=-1)))
         pubE = poly.evaluate_vector(pub, tau_ts)
-        t_params = _pc_params(g.TS, config, pc_rows)
-        lb_t = int(np.log2(t_params.B))
-        cntE = poly.evaluate_vector(proof.t_open.aggrs[0], tau_ts[:lb_t])
+        cntE = proof.t_open.eval_claims[0]
         init_e = F.fadd(one, F.fmul(scale_ts, pubE))
         fin_e = F.fadd(one, F.fmul(scale_ts,
                                    F.fadd(pubE, F.fmul(b, cntE))))

@@ -84,6 +84,18 @@ def powers(w, n: int):
     return A[:n]
 
 
+@maybe_jit(static_argnums=(1,))
+def powers_batch(w, n: int):
+    """Per-row power tables: w [q, 2] -> [q, n, 2] with out[i, j] = w_i^j."""
+    assert n >= 1
+    q = w.shape[0]
+    A = jnp.broadcast_to(F.ones((1,))[None], (q, 1, 2))
+    while A.shape[1] < n:
+        step = F.fmul(A[:, -1], w)     # w_i^len
+        A = jnp.concatenate([A, F.fmul(A, step[:, None, :])], axis=1)
+    return A[:, :n]
+
+
 def batch_inv(x):
     """Vectorized field inversion (Fermat); x: [..., 2]."""
     return F.finv(x)

@@ -54,6 +54,10 @@ class ElasticOpening(NamedTuple):
     paths: jnp.ndarray
 
 
+def _chunk_slices(full, B: int):
+    return lambda i: full[i * B:(i + 1) * B]
+
+
 def _zero_leaf_update(params: std.TensorPCParams):
     """Leaf-state update for an all-zero chunk (cached): chaining with the
     hash of four zero field elements."""
@@ -142,8 +146,14 @@ def commit_stream(chunk_fn: Callable[[int], jnp.ndarray],
     full: optional RESIDENT [N, 2] coefficient array — the whole commit
     runs as one compiled scan (identical tree/transcript).
     """
-    from ..utils.jitting import maybe_jit
+    from ..utils.jitting import JIT_ENABLED, maybe_jit
 
+    if full is not None and not JIT_ENABLED:
+        # eager mode: a scan over the BLAKE3 body is an XLA:CPU compile
+        # bomb (minutes per shape); per-chunk eager dispatch is fast and
+        # produces the identical tree
+        chunk_fn = _chunk_slices(full, params.B)
+        full = None
     if full is not None:
         prev = _full_commit_kernel(params)(full)
         num_leaves = prev.shape[0]
@@ -450,6 +460,151 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
     ), state
 
 
+# ---------------------------------------------------------------------------
+# Recursive multi-point opening: the P aggregates are concatenated into one
+# vector V (point index in the high bits), shockwave-committed ONCE, and a
+# single gamma-RLC'd recursion sumcheck covers every point; nothing B-sized
+# is transmitted.  `extra_points` lets the caller bind additional
+# evaluations of point pidx's aggregate at alternative low bits (the lane
+# trick) through the same shared shockwave multi-open.
+# ---------------------------------------------------------------------------
+
+class ElasticMultiRecOpening(NamedTuple):
+    eval_claims: jnp.ndarray           # [P, 2]
+    cf_root: jnp.ndarray
+    rows_idx: Tuple[int, ...]
+    cols_idx: Tuple[int, ...]
+    reply: jnp.ndarray                 # [q, K, 4, 2]
+    paths: jnp.ndarray
+    recursion: object                  # rec.MultiRecursionProof
+
+    @property
+    def extra_evals(self):
+        """Bound evaluations at the opener's extra_points (P+1 onward of
+        the shockwave multi-open claims)."""
+        P = self.eval_claims.shape[0]
+        return self.recursion.sw_multi.eval_claims[1 + P:]
+
+
+def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
+                                state, full=None, extra_points=(),
+                                sw_queries: int = 240):
+    """Open at every point in `points`; aggregates bound via ONE shockwave
+    commitment + batched recursion instead of transmission."""
+    from . import recursion as rec
+    from . import shockwave as sw_mod
+    from ..utils.jitting import maybe_jit
+
+    params = com.params
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+    lb = int(np.log2(params.B))
+    P = len(points)
+    betas = jnp.stack([poly.beta_table(x[lb:]) for x in points])  # [P, K, 2]
+
+    if full is not None:
+        aggr_fn, reply_fn = _full_open_kernels(params)
+        aggrs = aggr_fn(full, betas)
+    else:
+        @maybe_jit
+        def _aggr_step(aggrs, b, chunk):
+            return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
+
+        aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
+        for i in range(params.K):
+            aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
+    eval_claims = jnp.stack([poly.evaluate_vector(aggrs[p], points[p][:lb])
+                             for p in range(P)])
+
+    V = rec.concat_aggregates(aggrs)
+    k = rec._sw_k(V.shape[0])
+    cf = sw_mod.commit(V, k)
+    state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
+
+    if full is not None:
+        reply = reply_fn(full, lid)
+    else:
+        @maybe_jit
+        def _reply_step(chunk):
+            codeword = enc.tensor_encode(spec, chunk)
+            return std._leaf_groups(codeword)[lid]
+
+        replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+        reply = jnp.stack(replies, axis=1)           # [q, K, 4, 2]
+    paths = merkle.open_leaves(com.tree, leaf_ids)
+
+    x_los = [points[p][:lb] for p in range(P)]
+    if params.linear_time:
+        rproof, state = rec.spielman_prove_multi(
+            V, cf, aggrs, x_los, extra_points, qrows, qcols, params.rows,
+            spec.col_code, state, sw_queries=sw_queries)
+    else:
+        rproof, state = rec.rs_prove_multi(
+            V, cf, params.B, x_los, extra_points, qrows, qcols, params.rows,
+            state, sw_queries=sw_queries)
+    return ElasticMultiRecOpening(
+        eval_claims=eval_claims, cf_root=cf.outer.root, rows_idx=qrows,
+        cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+    ), state
+
+
+def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
+                           params: std.TensorPCParams, state,
+                           extra_points=(), sw_queries: int = 240):
+    """Succinct multi-point verification; returns (ok, extra_evals, state).
+
+    extra_evals are the recursion-bound evaluations at `extra_points`
+    (cryptographically tied to the commitment via the shockwave multi-open;
+    callers use them for lane evaluations)."""
+    from . import recursion as rec
+
+    lb = int(np.log2(params.B))
+    P = len(points)
+    betas = jnp.stack([poly.beta_table(x[lb:]) for x in points])
+
+    state = mimc.absorb(state,
+                        opening.cf_root.astype(jnp.uint64).reshape(4, 2))
+    state, qrows, qcols = std.derive_queries(state, params)
+    if tuple(qrows) != tuple(opening.rows_idx) or \
+       tuple(qcols) != tuple(opening.cols_idx):
+        return False, None, state
+
+    # shared reply combination: comb_vals[p, q] = row-slot value of the
+    # beta_p-combined chunks at query q
+    rc = jnp.asarray([r % 4 for r in qrows], dtype=jnp.int32)
+    q_ar = jnp.arange(len(qrows))
+    combP = F.fsum(F.fmul(betas[:, None, :, None, :], opening.reply[None]),
+                   axis=2)                            # [P, q, 4, 2]
+    comb_vals = combP[:, q_ar, rc]                    # [P, q, 2]
+
+    # shared Merkle verification: chain replies across chunks, batch-verify
+    prev = jnp.zeros((len(qrows), 8), dtype=jnp.uint32)
+    for i in range(params.K):
+        prev = blake3.hash_chained_leaf(opening.reply[:, i], prev)
+    leaf_ids = [((r // 4) * (2 * params.cols) + c)
+                for r, c in zip(qrows, qcols)]
+    okm = merkle.verify_leaves_batch(root, prev, leaf_ids, opening.paths)
+    if not bool(okm):
+        return False, None, state
+
+    x_los = [points[p][:lb] for p in range(P)]
+    if params.linear_time:
+        spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+        return rec.spielman_verify_multi(
+            opening.recursion, opening.cf_root, comb_vals,
+            opening.eval_claims, x_los, extra_points, qrows, qcols,
+            params.rows, params.B, spec.col_code, state,
+            sw_queries=sw_queries)
+    return rec.rs_verify_multi(
+        opening.recursion, opening.cf_root, comb_vals, opening.eval_claims,
+        x_los, extra_points, qrows, qcols, params.rows, params.B, state,
+        sw_queries=sw_queries)
+
+
 def lane_eval(opening, pidx: int, lo_bits):
     """Evaluate the transmitted aggregate of point `pidx` at alternative
     low bits (the lane trick: one opening binds every point sharing x_hi)."""
@@ -504,6 +659,7 @@ def verify_multi(root, points, opening: ElasticMultiOpening,
 
 
 __all__ = ["ElasticCommitment", "ElasticOpening", "ElasticRecursiveOpening",
-           "ElasticMultiOpening", "commit_stream", "open_stream",
-           "open_stream_recursive", "open_stream_multi", "lane_eval",
-           "verify", "verify_recursive", "verify_multi"]
+           "ElasticMultiOpening", "ElasticMultiRecOpening", "commit_stream",
+           "open_stream", "open_stream_recursive", "open_stream_multi",
+           "open_stream_multi_recursive", "lane_eval", "verify",
+           "verify_recursive", "verify_multi", "verify_multi_recursive"]

@@ -32,13 +32,17 @@ the C_f-bound M), so it is omitted.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
+from ..utils.jitting import maybe_jit
+
 from ..core import linear_code as lc
+from ..core import parity
 from ..core import sumcheck as sc
 from ..ops import encode as enc
 from ..ops import expanders
@@ -59,9 +63,23 @@ def _dft_mle(base, pt):
     return acc
 
 
-def _pow_bases(omega, idxs):
-    """[len(idxs), 2] scalars omega^idx."""
-    return jnp.stack([F.fpow(omega, int(i)) for i in idxs])
+def _pow_bases(omega, idxs, domain: int = 0):
+    """[len(idxs), 2] scalars omega^idx (one power table + gather)."""
+    n = domain or (max(idxs) + 1)
+    tab = poly.powers(omega, n)
+    return tab[jnp.asarray(idxs, dtype=jnp.int32)]
+
+
+def _dft_mle_batch(bases, pt):
+    """Vectorized `_dft_mle` over a batch of bases: [q, 2] -> [q, 2]."""
+    one = F.ones((bases.shape[0],))
+    acc = one
+    cur = bases
+    for b in range(pt.shape[0]):
+        acc = F.fmul(acc, F.fadd(F.fsub(one, pt[b][None]),
+                                 F.fmul(pt[b][None], cur)))
+        cur = F.fmul(cur, cur)
+    return acc
 
 
 def _bool_point(v: int, bits: int):
@@ -78,6 +96,51 @@ def _sw_k(B: int) -> int:
     return max(4, k)
 
 
+@maybe_jit(static_argnums=(3, 4, 5))
+def _rlc_weight_matrix(u, baseR, baseC, rows: int, cols: int, step: int = 16):
+    """W[i, j] = sum_q u_q baseR_q^i baseC_q^j as a chunked scan over q
+    (a [step, rows, cols] intermediate instead of per-query Python loops —
+    q is 700/5900 at the reference schedule)."""
+    q = u.shape[0]
+    qpad = ((q + step - 1) // step) * step
+    if qpad != q:
+        pad = qpad - q
+        u = jnp.concatenate([u, jnp.zeros((pad, 2), jnp.uint64)])
+        baseR = jnp.concatenate([baseR, F.ones((pad,))])
+        baseC = jnp.concatenate([baseC, F.ones((pad,))])
+    Vr = F.fmul(u[:, None, :], poly.powers_batch(baseR, rows))
+    Vc = poly.powers_batch(baseC, cols)
+
+    def body(acc, xs):
+        vru, vc = xs                    # [step, rows, 2], [step, cols, 2]
+        contrib = F.fsum(F.fmul(vru[:, :, None, :], vc[:, None, :, :]),
+                         axis=0)
+        return F.fadd(acc, contrib), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((rows, cols, 2), dtype=jnp.uint64),
+        (Vr.reshape(-1, step, rows, 2), Vc.reshape(-1, step, cols, 2)))
+    return acc
+
+
+def _phi_onehot_evals(code, qrows, rows: int, ipt):
+    """[q, 2] MLE evaluations at ipt of phi_q = P^T e_{qrows[q]} — all q
+    one-hot back-propagations batched into one encode_transpose."""
+    q = len(qrows)
+    cw = code.codeword_len
+    rarr = np.asarray(qrows, dtype=np.int64)
+    hot = (rarr < cw).astype(np.uint64)
+    eqm = jnp.zeros((q, cw, 2), dtype=jnp.uint64)
+    eqm = eqm.at[jnp.arange(q), jnp.asarray(np.minimum(rarr, cw - 1)), 0].set(
+        jnp.asarray(hot))
+    phi = expanders.encode_transpose(code, eqm)       # [q, n, 2]
+    if phi.shape[1] < rows:
+        phi = jnp.concatenate(
+            [phi, jnp.zeros((q, rows - phi.shape[1], 2), jnp.uint64)],
+            axis=1)
+    return poly.evaluate_vector(jnp.moveaxis(phi, 0, 1), ipt)
+
+
 class RSRecursionProof(NamedTuple):
     p_main: sc.SumcheckProof
     open_pt: sw.ShockwaveOpening
@@ -89,6 +152,7 @@ class SpielmanRecursionProof(NamedTuple):
     p_tie: sc.SumcheckProof        # D eval -> <M, Phi2>
     open_pt: sw.ShockwaveOpening   # C_f at the tie point
     open_x: sw.ShockwaveOpening    # C_f at x_lo
+    p_parity: Optional[parity.ParityProof] = None  # committed-P wphi check
 
 
 # ---------------------------------------------------------------------------
@@ -109,15 +173,10 @@ def rs_prove(aggr, cf: sw.ShockwaveData, x_lo, qrows: Sequence[int],
     u = poly.powers(s, q)                       # [q, 2]
     wR = F.root_of_unity(int(np.log2(2 * rows)))
     wC = F.root_of_unity(int(np.log2(2 * cols)))
-    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows)
-    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols)
+    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows, 2 * rows)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
 
-    W = jnp.zeros((rows, cols, 2), dtype=jnp.uint64)
-    for qi in range(q):
-        vr = poly.powers(baseR[qi], rows)       # [rows, 2]
-        vc = poly.powers(baseC[qi], cols)       # [cols, 2]
-        vr = F.fmul(u[qi][None, :], vr)
-        W = F.fadd(W, F.fmul(vr[:, None, :], vc[None, :, :]))
+    W = _rlc_weight_matrix(u, baseR, baseC, rows, cols)
 
     p_main, state = sc.prove_2product(aggr, W.reshape(B, 2), state)
     pt = p_main.challenges
@@ -147,13 +206,10 @@ def rs_verify(proof: RSRecursionProof, cf_root, comb_vals, eval_claim,
     z, y = pt[:lc_bits], pt[lc_bits:]
     wR = F.root_of_unity(int(np.log2(2 * rows)))
     wC = F.root_of_unity(int(np.log2(2 * cols)))
-    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows)
-    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols)
-    want = None
-    for qi in range(q):
-        t = F.fmul(u[qi], F.fmul(_dft_mle(baseR[qi], y),
-                                 _dft_mle(baseC[qi], z)))
-        want = t if want is None else F.fadd(want, t)
+    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows, 2 * rows)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    want = F.fsum(F.fmul(u, F.fmul(_dft_mle_batch(baseR, y),
+                                   _dft_mle_batch(baseC, z))), axis=0)
     ok = ok and bool(F.feq(proof.p_main.final_evals[1], want))
 
     oks, state = sw.verify(cf_root, proof.open_pt, pt, k, B, state,
@@ -178,7 +234,7 @@ def _pad_pow2_count(n: int) -> int:
 
 def spielman_prove(aggr, cf: sw.ShockwaveData, x_lo, qrows, qcols, rows: int,
                    code: expanders.SpielmanCode, state,
-                   sw_queries: int = sw.QUERIES):
+                   sw_queries: int = sw.QUERIES, use_parity: bool = True):
     """Spielman-column tensor recursion.  Returns (proof, state)."""
     B = aggr.shape[0]
     cols = B // rows
@@ -201,15 +257,21 @@ def spielman_prove(aggr, cf: sw.ShockwaveData, x_lo, qrows, qcols, rows: int,
     point = p_code.inner.challenges                   # [log(qpad*rows), 2]
     lr = int(np.log2(rows))
     ipt, qpt = point[:lr], point[lr:]
+    eq_qp = poly.beta_table(qpt)
+
+    p_parity = None
+    if use_parity:
+        coeffs = F.fmul(u[:q], eq_qp[:q])
+        pd = parity.commit_parity(code)
+        p_parity, state = parity.prove_claim(pd, qrows, coeffs,
+                                             code.codeword_len, ipt, state,
+                                             sw_queries=sw_queries)
 
     # tie: D~(point) = sum_{i,j} M[i,j] * Phi2[i,j]
     wC = F.root_of_unity(int(np.log2(2 * cols)))
-    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols)
-    eq_q = poly.beta_table(qpt)                       # [qpad, 2]
-    colfac = jnp.zeros((cols, 2), dtype=jnp.uint64)
-    for qi in range(q):
-        vc = poly.powers(baseC[qi], cols)
-        colfac = F.fadd(colfac, F.fmul(eq_q[qi][None, :], vc))
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    colfac = F.fsum(F.fmul(eq_qp[:q, None, :],
+                           poly.powers_batch(baseC, cols)), axis=0)
     eq_i = poly.beta_table(ipt)                       # [rows, 2]
     Phi2 = F.fmul(eq_i[:, None, :], colfac[None, :, :])
     p_tie, state = sc.prove_2product(aggr, Phi2.reshape(B, 2), state)
@@ -217,7 +279,8 @@ def spielman_prove(aggr, cf: sw.ShockwaveData, x_lo, qrows, qcols, rows: int,
 
     open_pt, state = sw.open(cf, pt2, state, queries=sw_queries)
     open_x, state = sw.open(cf, x_lo, state, queries=sw_queries)
-    return SpielmanRecursionProof(p_code, p_tie, open_pt, open_x), state
+    return SpielmanRecursionProof(p_code, p_tie, open_pt, open_x,
+                                  p_parity), state
 
 
 def spielman_verify(proof: SpielmanRecursionProof, cf_root, comb_vals,
@@ -238,17 +301,28 @@ def spielman_verify(proof: SpielmanRecursionProof, cf_root, comb_vals,
     okc, point, cur, state = sc.verify_product_sumcheck(proof.p_code.inner,
                                                         claim, state, 2)
     ok = ok and bool(okc)
-    # transparent wphi check: wphi[j, x] = u_j * (P^T eq(rho_j))[x]
     lr = int(np.log2(rows))
     ipt, qpt = point[:lr], point[lr:]
     eq_q = poly.beta_table(qpt)
-    want = None
-    for qi in range(q):
-        rho = _bool_point(qrows[qi], cw_bits)
-        phi = lc._phi(code, rho, rows)
-        t = F.fmul(F.fmul(u[qi], eq_q[qi]), poly.evaluate_vector(phi, ipt))
-        want = t if want is None else F.fadd(want, t)
-    ok = ok and bool(F.feq(proof.p_code.inner.final_evals[1], want))
+    if proof.p_parity is not None:
+        # committed-parity mode: wphi eval checked against the public
+        # generator-matrix commitment (sumcheck.cpp:2671-2886 analog) —
+        # O(q log) verifier work, no expander traversal
+        pd = parity.commit_parity(code)
+        coeffs = F.fmul(u[:q], eq_q[:q])
+        okp, state = parity.verify_claim(
+            proof.p_parity, pd.root, proof.p_code.inner.final_evals[1],
+            qrows, coeffs, code.codeword_len, pd.cw2, pd.n, ipt, state,
+            sw_queries=sw_queries)
+        ok = ok and bool(okp)
+    else:
+        # transparent wphi check: wphi[j, x] = u_j * (P^T eq(rho_j))[x].
+        # rho_j are Boolean row indices, so eq(rho_j) is one-hot and all q
+        # back-propagations batch into ONE encode_transpose call.
+        want = F.fsum(F.fmul(F.fmul(u[:q], eq_q[:q]),
+                             _phi_onehot_evals(code, qrows, rows, ipt)),
+                      axis=0)
+        ok = ok and bool(F.feq(proof.p_code.inner.final_evals[1], want))
 
     # tie sumcheck: claim = D~(point) = p_code final eval 0
     okt, pt2, cur2, state = sc.verify_product_sumcheck(
@@ -257,11 +331,8 @@ def spielman_verify(proof: SpielmanRecursionProof, cf_root, comb_vals,
     lc_bits = int(np.log2(cols))
     z2, y2 = pt2[:lc_bits], pt2[lc_bits:]
     wC = F.root_of_unity(int(np.log2(2 * cols)))
-    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols)
-    colfac_e = None
-    for qi in range(q):
-        t = F.fmul(eq_q[qi], _dft_mle(baseC[qi], z2))
-        colfac_e = t if colfac_e is None else F.fadd(colfac_e, t)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    colfac_e = F.fsum(F.fmul(eq_q[:q], _dft_mle_batch(baseC, z2)), axis=0)
     eq_i_e = _eq_eval(ipt, y2)
     want2 = F.fmul(eq_i_e, colfac_e)
     ok = ok and bool(F.feq(proof.p_tie.final_evals[1], want2))
@@ -278,6 +349,250 @@ def spielman_verify(proof: SpielmanRecursionProof, cf_root, comb_vals,
     return ok, state
 
 
+# ---------------------------------------------------------------------------
+# Multi-point recursion: ONE recursion argument covering every opening point
+# of an Elastic multi-open (plus arbitrary extra evaluation points of the
+# per-point aggregates).  The P aggregates are concatenated into a single
+# vector V of size P2*B (p-index in the HIGH bits under the low-bits-first
+# fold convention), shockwave-committed once, and a single gamma-RLC'd
+# 2-product sumcheck of size P2*B replaces P separate recursions; every
+# aggregate evaluation the outer protocol needs becomes one point of the
+# shared shockwave multi-open.  Replaces the reference's per-point
+# recursive_prover_* calls (PC_utils.cpp:168-512) with a batched argument.
+# ---------------------------------------------------------------------------
+
+
+class MultiRecursionProof(NamedTuple):
+    p_main: sc.SumcheckProof                 # <V, W'> (RS) or tie (Spielman)
+    p_code: Optional[object]                 # Spielman batched code claim
+    sw_multi: sw.ShockwaveMultiOpening       # cf at [pt] + eval + extra pts
+    p_parity: Optional[parity.ParityProof] = None  # committed-P wphi check
+
+
+def pad_points(P: int) -> int:
+    """P2: pad the point count to a power of two (1 stays 1)."""
+    return 1 << int(np.ceil(np.log2(max(1, P))))
+
+
+def concat_aggregates(aggrs):
+    """[P, B, 2] -> V [P2*B, 2]: point index in the high bits."""
+    P, B = aggrs.shape[0], aggrs.shape[1]
+    P2 = pad_points(P)
+    V = aggrs.reshape(P * B, 2)
+    if P2 > P:
+        V = jnp.concatenate(
+            [V, jnp.zeros(((P2 - P) * B, 2), dtype=jnp.uint64)], axis=0)
+    return V
+
+
+def _multi_sw_points(pt, x_los, extra_points, P2: int):
+    """Shockwave opening points over V's domain: the sumcheck point, the P
+    elastic evaluation points (x_lo_p ++ bool(p)), then the extras."""
+    lpb = int(np.log2(P2))
+    pts = [pt]
+    for p, lo in enumerate(x_los):
+        pts.append(jnp.concatenate([lo, _bool_point(p, lpb)], axis=0)
+                   if lpb else lo)
+    for pidx, lo in extra_points:
+        pts.append(jnp.concatenate([lo, _bool_point(int(pidx), lpb)], axis=0)
+                   if lpb else lo)
+    return pts
+
+
+def rs_prove_multi(V, cf: sw.ShockwaveData, B: int, x_los, extra_points,
+                   qrows, qcols, rows: int, state,
+                   sw_queries: int = sw.QUERIES):
+    """V = concat_aggregates(aggrs); cf = shockwave.commit(V) whose root the
+    caller absorbed BEFORE deriving the queries.  Returns (proof, state)."""
+    P2 = V.shape[0] // B
+    cols = B // rows
+    q = len(qrows)
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, q)
+    wR = F.root_of_unity(int(np.log2(2 * rows)))
+    wC = F.root_of_unity(int(np.log2(2 * cols)))
+    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows, 2 * rows)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+
+    W = _rlc_weight_matrix(u, baseR, baseC, rows, cols)
+    Wp = F.fmul(gammas[:, None, None, :], W[None])     # [P2, rows, cols, 2]
+    p_main, state = sc.prove_2product(V, Wp.reshape(P2 * B, 2), state)
+
+    sw_pts = _multi_sw_points(p_main.challenges, x_los, extra_points, P2)
+    sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
+    return MultiRecursionProof(p_main, None, sw_open), state
+
+
+def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
+                    eval_claims, x_los, extra_points, qrows, qcols,
+                    rows: int, B: int, state, sw_queries: int = sw.QUERIES):
+    """comb_vals: [P, q, 2] per-point beta-combined (Merkle-verified) query
+    replies.  Returns (ok, extra_evals, state) with extra_evals the bound
+    evaluations at `extra_points` (same order)."""
+    P, q = comb_vals.shape[0], comb_vals.shape[1]
+    P2 = pad_points(P)
+    cols = B // rows
+    lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
+    ok = True
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, q)
+    claim = F.fsum(F.fsum(
+        F.fmul(gammas[:P, None, :], F.fmul(u[None], comb_vals)),
+        axis=0), axis=0)
+
+    okm, pt, cur, state = sc.verify_product_sumcheck(proof.p_main, claim,
+                                                     state, 2)
+    ok = ok and bool(okm)
+    z, y, w = pt[:lcb], pt[lcb:lcb + lr], pt[lcb + lr:]
+    wR = F.root_of_unity(int(np.log2(2 * rows)))
+    wC = F.root_of_unity(int(np.log2(2 * cols)))
+    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)), qrows, 2 * rows)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    wantW = F.fsum(F.fmul(u, F.fmul(_dft_mle_batch(baseR, y),
+                                    _dft_mle_batch(baseC, z))), axis=0)
+    gmle = poly.evaluate_vector(gammas, w)
+    ok = ok and bool(F.feq(proof.p_main.final_evals[1],
+                           F.fmul(gmle, wantW)))
+
+    sw_pts = _multi_sw_points(pt, x_los, extra_points, P2)
+    k = _sw_k(P2 * B)
+    oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
+                                 state, queries=sw_queries)
+    ok = ok and bool(oks)
+    swc = proof.sw_multi.eval_claims
+    ok = ok and bool(F.feq(swc[0], proof.p_main.final_evals[0]))
+    for p in range(P):
+        ok = ok and bool(F.feq(swc[1 + p], eval_claims[p]))
+    return ok, swc[1 + P:], state
+
+
+def spielman_prove_multi(V, cf: sw.ShockwaveData, aggrs, x_los, extra_points,
+                         qrows, qcols, rows: int,
+                         code: expanders.SpielmanCode, state,
+                         sw_queries: int = sw.QUERIES,
+                         use_parity: bool = True):
+    """Spielman-column multi-point recursion: the batched linear-code proof
+    runs on the gamma-RLC'd aggregate A (prover-side only); the tie
+    sumcheck binds <V, gammavec (x) Phi2>.  Returns (proof, state)."""
+    P, B = aggrs.shape[0], aggrs.shape[1]
+    P2 = V.shape[0] // B
+    cols = B // rows
+    q = len(qrows)
+    qpad = _pad_pow2_count(q)
+    cw_bits = int(np.log2(2 * rows))
+    lr = int(np.log2(rows))
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    A = F.fsum(F.fmul(gammas[:P, None, :], aggrs), axis=0)       # [B, 2]
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, qpad)
+
+    mat = A.reshape(rows, cols, 2)
+    ext_rows = enc.rs_encode(mat)                     # [rows, 2c, 2]
+    zero_msg = jnp.zeros((rows, 2), dtype=jnp.uint64)
+    msgs = [ext_rows[:, c] for c in qcols] + [zero_msg] * (qpad - q)
+    rhos = [_bool_point(r, cw_bits) for r in qrows] + \
+           [_bool_point(0, cw_bits)] * (qpad - q)
+    weights = jnp.concatenate([u[:q], jnp.zeros((qpad - q, 2), jnp.uint64)])
+    p_code, _, state = lc.prove_batch(code, msgs, rhos, weights, state)
+    point = p_code.inner.challenges
+    ipt, qpt = point[:lr], point[lr:]
+    eq_q = poly.beta_table(qpt)
+
+    p_parity = None
+    if use_parity:
+        coeffs = F.fmul(u[:q], eq_q[:q])
+        pd = parity.commit_parity(code)
+        p_parity, state = parity.prove_claim(pd, qrows, coeffs,
+                                             code.codeword_len, ipt, state,
+                                             sw_queries=sw_queries)
+
+    wC = F.root_of_unity(int(np.log2(2 * cols)))
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    colfac = F.fsum(F.fmul(eq_q[:q, None, :],
+                           poly.powers_batch(baseC, cols)), axis=0)
+    eq_i = poly.beta_table(ipt)
+    Phi2 = F.fmul(eq_i[:, None, :], colfac[None, :, :])
+    Phi2g = F.fmul(gammas[:, None, None, :], Phi2[None])
+    p_tie, state = sc.prove_2product(V, Phi2g.reshape(P2 * B, 2), state)
+
+    sw_pts = _multi_sw_points(p_tie.challenges, x_los, extra_points, P2)
+    sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
+    return MultiRecursionProof(p_tie, p_code, sw_open, p_parity), state
+
+
+def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
+                          eval_claims, x_los, extra_points, qrows, qcols,
+                          rows: int, B: int, code: expanders.SpielmanCode,
+                          state, sw_queries: int = sw.QUERIES):
+    """Returns (ok, extra_evals, state)."""
+    P, q = comb_vals.shape[0], comb_vals.shape[1]
+    P2 = pad_points(P)
+    cols = B // rows
+    lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
+    qpad = _pad_pow2_count(q)
+    ok = True
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, qpad)
+    claim = F.fsum(F.fsum(
+        F.fmul(gammas[:P, None, :], F.fmul(u[None, :q], comb_vals)),
+        axis=0), axis=0)
+
+    okc, point, cur, state = sc.verify_product_sumcheck(
+        proof.p_code.inner, claim, state, 2)
+    ok = ok and bool(okc)
+    ipt, qpt = point[:lr], point[lr:]
+    eq_q = poly.beta_table(qpt)
+    if proof.p_parity is not None:
+        pd = parity.commit_parity(code)
+        coeffs = F.fmul(u[:q], eq_q[:q])
+        okp, state = parity.verify_claim(
+            proof.p_parity, pd.root, proof.p_code.inner.final_evals[1],
+            qrows, coeffs, code.codeword_len, pd.cw2, pd.n, ipt, state,
+            sw_queries=sw_queries)
+        ok = ok and bool(okp)
+    else:
+        want = F.fsum(F.fmul(F.fmul(u[:q], eq_q[:q]),
+                             _phi_onehot_evals(code, qrows, rows, ipt)),
+                      axis=0)
+        ok = ok and bool(F.feq(proof.p_code.inner.final_evals[1], want))
+
+    okt, pt2, cur2, state = sc.verify_product_sumcheck(
+        proof.p_main, proof.p_code.inner.final_evals[0], state, 2)
+    ok = ok and bool(okt)
+    z2 = pt2[:lcb]
+    y2 = pt2[lcb:lcb + lr]
+    w2 = pt2[lcb + lr:]
+    wC = F.root_of_unity(int(np.log2(2 * cols)))
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)), qcols, 2 * cols)
+    colfac_e = F.fsum(F.fmul(eq_q[:q], _dft_mle_batch(baseC, z2)), axis=0)
+    eq_i_e = _eq_eval(ipt, y2)
+    gmle = poly.evaluate_vector(gammas, w2)
+    ok = ok and bool(F.feq(proof.p_main.final_evals[1],
+                           F.fmul(gmle, F.fmul(eq_i_e, colfac_e))))
+
+    sw_pts = _multi_sw_points(pt2, x_los, extra_points, P2)
+    k = _sw_k(P2 * B)
+    oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
+                                 state, queries=sw_queries)
+    ok = ok and bool(oks)
+    swc = proof.sw_multi.eval_claims
+    ok = ok and bool(F.feq(swc[0], proof.p_main.final_evals[0]))
+    for p in range(P):
+        ok = ok and bool(F.feq(swc[1 + p], eval_claims[p]))
+    return ok, swc[1 + P:], state
+
+
 def _eq_eval(r1, r2):
     one = F.scalar(1)
     acc = one
@@ -289,4 +604,7 @@ def _eq_eval(r1, r2):
 
 
 __all__ = ["RSRecursionProof", "SpielmanRecursionProof",
-           "rs_prove", "rs_verify", "spielman_prove", "spielman_verify"]
+           "MultiRecursionProof", "pad_points", "concat_aggregates",
+           "rs_prove", "rs_verify", "spielman_prove", "spielman_verify",
+           "rs_prove_multi", "rs_verify_multi",
+           "spielman_prove_multi", "spielman_verify_multi"]

@@ -20,12 +20,8 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent XLA compilation cache: shape-stable kernels (jitted field
-# primitives, the MiMC compression) compile once across ALL test processes.
-import pathlib
-
-_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
-_cache.mkdir(exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", str(_cache))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent XLA compilation cache is deliberately NOT enabled
+# for CPU tests: xla's cpu_aot_loader refuses to load its own serialized
+# executables on some hosts (it records tuning pseudo-features like
+# +prefer-no-scatter as required target features and then rejects them at
+# load time), so every lookup errors and recompiles — pure overhead.

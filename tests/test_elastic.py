@@ -102,3 +102,84 @@ def test_elastic_recursive_open_roundtrip():
     okb, _ = elastic.verify_recursive(com.root, x, bad, params,
                                       mimc.fresh_state(), sw_queries=8)
     assert not bool(okb)
+
+
+def _rand_point(rng, n):
+    re = rng.integers(0, P, size=(n,), dtype=np.uint64)
+    im = rng.integers(0, P, size=(n,), dtype=np.uint64)
+    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+
+
+def _multi_rec_case(linear_time):
+    rng = np.random.default_rng(77 + int(linear_time))
+    N, K, rows = 1 << 10, 4, 8
+    params = std.make_params(N, K, rows, linear_time=linear_time, queries=8)
+    msg = rand_field(N)
+    chunk_fn = lambda i: msg[i * params.B:(i + 1) * params.B]
+    com = elastic.commit_stream(chunk_fn, params)
+    points = [_rand_point(rng, 10) for _ in range(3)]
+    lb = 8  # log2(B)
+    extra = ((0, _rand_point(rng, lb)), (2, _rand_point(rng, lb)))
+
+    op, _ = elastic.open_stream_multi_recursive(
+        chunk_fn, com, points, mimc.fresh_state(), extra_points=extra,
+        sw_queries=8)
+    for p, x in enumerate(points):
+        assert bool(F.feq(op.eval_claims[p], poly.evaluate_vector(msg, x)))
+    ok, extra_evals, _ = elastic.verify_multi_recursive(
+        com.root, points, op, params, mimc.fresh_state(),
+        extra_points=extra, sw_queries=8)
+    assert bool(ok)
+    # the bound extra evals equal the aggregates' MLEs at the extra points
+    beta0 = poly.beta_table(points[0][lb:])
+    aggr0 = F.fsum(F.fmul(beta0[:, None, :], msg.reshape(K, params.B, 2)),
+                   axis=0)
+    want0 = poly.evaluate_vector(aggr0, extra[0][1])
+    assert bool(F.feq(extra_evals[0], want0))
+    beta2 = poly.beta_table(points[2][lb:])
+    aggr2 = F.fsum(F.fmul(beta2[:, None, :], msg.reshape(K, params.B, 2)),
+                   axis=0)
+    want2 = poly.evaluate_vector(aggr2, extra[1][1])
+    assert bool(F.feq(extra_evals[1], want2))
+
+    # tamper: claim a wrong evaluation at point 1
+    bad = op._replace(eval_claims=jnp.asarray(
+        np.asarray(F.fadd(op.eval_claims, F.scalar(1)))))
+    okb, _, _ = elastic.verify_multi_recursive(
+        com.root, points, bad, params, mimc.fresh_state(),
+        extra_points=extra, sw_queries=8)
+    assert not bool(okb)
+
+    # tamper: corrupt a query reply
+    bad2 = op._replace(reply=op.reply.at[0, 0, 0].set(
+        np.asarray(F.fadd(op.reply[0, 0, 0], F.scalar(1)))))
+    okb2, _, _ = elastic.verify_multi_recursive(
+        com.root, points, bad2, params, mimc.fresh_state(),
+        extra_points=extra, sw_queries=8)
+    assert not bool(okb2)
+
+
+def test_elastic_multi_recursive_rs():
+    _multi_rec_case(linear_time=False)
+
+
+def test_elastic_multi_recursive_spielman():
+    _multi_rec_case(linear_time=True)
+
+
+def test_elastic_multi_recursive_single_point():
+    # P = 1 degenerates to P2 = 1 (no point bits) and must still verify
+    rng = np.random.default_rng(99)
+    N, K, rows = 1 << 10, 4, 8
+    params = std.make_params(N, K, rows, queries=8)
+    msg = rand_field(N)
+    chunk_fn = lambda i: msg[i * params.B:(i + 1) * params.B]
+    com = elastic.commit_stream(chunk_fn, params)
+    points = [_rand_point(rng, 10)]
+    op, _ = elastic.open_stream_multi_recursive(
+        chunk_fn, com, points, mimc.fresh_state(), sw_queries=8)
+    ok, _, _ = elastic.verify_multi_recursive(
+        com.root, points, op, params, mimc.fresh_state(), sw_queries=8)
+    assert bool(ok)
+    assert bool(F.feq(op.eval_claims[0], poly.evaluate_vector(msg,
+                                                              points[0])))

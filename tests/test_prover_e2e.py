@@ -11,7 +11,7 @@ from hobbit_tpu.models import circuits as C
 from hobbit_tpu.ops import field as F
 
 
-CFG = HobbitConfig(buffer_bits=6, pc_queries=16)  # tiny: exercise streaming
+CFG = HobbitConfig(buffer_bits=6, pc_queries=16, shockwave_queries=16)  # tiny: exercise streaming
 
 
 def _roundtrip(prog, x, cfg=CFG, streaming=None):
@@ -42,7 +42,7 @@ def test_e2e_streaming_matches_materialized():
     """The O(B)-resident streaming prover emits the SAME transcript as the
     materialized fast path.  (Lookup tables are 2^16-entry, so the lookup
     multiset domain is table-driven: use a buffer sized between the two.)"""
-    cfg = HobbitConfig(buffer_bits=15, pc_queries=16)
+    cfg = HobbitConfig(buffer_bits=15, pc_queries=16, shockwave_queries=16)
     prog = C.fun6_sql_range_query(5, block_rows=8)
     from hobbit_tpu.streams import trace as trc
     x = trc.prng_input_source(prog.num_inputs, seed=3, small=256)
@@ -96,7 +96,7 @@ def test_e2e_aes_lookup_mode():
     """AES-128 block: all-lookup circuit through the full pipeline.
     (2^16-entry XOR table => table-driven lookup domain; medium buffer.)"""
     from hobbit_tpu.models import aes
-    cfg = HobbitConfig(buffer_bits=15, pc_queries=16)
+    cfg = HobbitConfig(buffer_bits=15, pc_queries=16, shockwave_queries=16)
     prog, _ = aes.build(blocks_log2=0, key=list(range(16)))
     ab = aes.AesBuilder(1, aes.key_schedule(list(range(16))))
     x = ab.inputs(np.array([list(range(16))], dtype=np.uint64))
