@@ -50,6 +50,19 @@ class HobbitConfig:
     # 5900 Spielman, Elastic_PC.cpp:626-629); tests override with small
     # values for speed.
     pc_queries: int = None
+    # Distance-batched mul-tree descent (reference distance=5,
+    # main.cpp -> sumcheck.cpp:1014-1621): 0 = plain per-level descent,
+    # >0 = batch the bottom levels `mt_distance` at a time with Elastic
+    # commitments binding the batch boundaries.  Pays off when
+    # log2(N/B) >> distance (2^26+ traces); the plain descent is already
+    # sub-second at the flagship config.
+    mt_distance: int = 0
+
+    def resolved_pc_queries(self) -> int:
+        if self.pc_queries is not None:
+            return self.pc_queries
+        return (self.code.queries_spielman if self.linear_time
+                else self.code.queries_rs)
 
     @property
     def buffer_space(self) -> int:

@@ -380,8 +380,23 @@ class BatchedLevelsProof(NamedTuple):
     chunk_size: int
 
 
+def _extend_point(r_top, layers: int, distance: int, state):
+    """r_ext = r_top ++ fresh: every batch-top point is a prefix of r_ext
+    (the reference's r_temp construction, sumcheck.cpp:1869-1877)."""
+    state, fresh = mimc.squeeze(state, layers - distance)
+    return jnp.concatenate([r_top, fresh], axis=0), state
+
+
+def _batch_prefixes(r_ext, total: int, layers: int, distance: int):
+    """Batch b's starting point: log2(total) - (b+1)*distance bits."""
+    batches = layers // distance
+    return [r_ext[: int(np.log2(total)) - (b + 1) * distance]
+            for b in range(batches)]
+
+
 def prove_batched_levels(chunk_fn: Callable, total: int, layers: int,
-                         distance: int, r_top, state, B: int):
+                         distance: int, r_top, state, B: int,
+                         r_ext=None):
     """Prove levels layers-1 .. 0 in `batches = layers/distance` groups.
 
     chunk_fn(level, i, csize) as in ``prove``; r_top: the point binding
@@ -394,13 +409,10 @@ def prove_batched_levels(chunk_fn: Callable, total: int, layers: int,
     (point, claim) on level b*distance (level 0 for b=0)."""
     assert layers % distance == 0
     batches = layers // distance
-    # batch b's top level L_b = (b+1)*distance needs log2(total) - L_b
-    # point bits; every batch top point is a PREFIX of r_ext = r_top ++
-    # fresh randomness (the reference's r_temp construction,
-    # sumcheck.cpp:1869-1877), so batch batches-1 lands exactly on r_top
-    # and its streamed claim must equal the top proof's final_eval.
-    state, fresh = mimc.squeeze(state, layers - distance)
-    r_ext = jnp.concatenate([r_top, fresh], axis=0)
+    # batch batches-1 lands exactly on r_top and its streamed claim must
+    # equal the top proof's final_eval.
+    if r_ext is None:
+        r_ext, state = _extend_point(r_top, layers, distance, state)
     points, claims = [], []
     for b in range(batches):
         Lb = (b + 1) * distance
@@ -441,7 +453,7 @@ def prove_batched_levels(chunk_fn: Callable, total: int, layers: int,
 
 
 def verify_batched_levels(proof: BatchedLevelsProof, total: int, r_top,
-                          state):
+                          state, r_ext=None):
     """Replay; returns (ok, points, claims, state).  The caller binds
     claims0 against the committed batch-top layers and the final claims
     against level b*distance (the raw stream for b=0)."""
@@ -449,8 +461,8 @@ def verify_batched_levels(proof: BatchedLevelsProof, total: int, r_top,
     batches, distance = proof.batches, proof.distance
     layers = batches * distance
     B = proof.chunk_size
-    state, fresh = mimc.squeeze(state, layers - distance)
-    r_ext = jnp.concatenate([r_top, fresh], axis=0)
+    if r_ext is None:
+        r_ext, state = _extend_point(r_top, layers, distance, state)
     points, claims = [], []
     for b in range(batches):
         Lb = (b + 1) * distance
@@ -468,6 +480,151 @@ def verify_batched_levels(proof: BatchedLevelsProof, total: int, r_top,
     return ok, points, claims, state
 
 
+# ---------------------------------------------------------------------------
+# Batched driver: the reference main-path configuration (distance=5,
+# main.cpp -> prove_multiplication_tree_stream_shallow with commit_layers).
+# Batch-boundary tree levels are Elastic-committed; every boundary claim
+# (the streamed batch-top claims AND the per-batch descent endpoints) is
+# bound through a multi-point opening, so only batch 0's level-0 claim is
+# left for the caller — exactly the plain driver's contract.
+# ---------------------------------------------------------------------------
+
+class BatchedMulTreeProof(NamedTuple):
+    top_proof: mul_tree.MulTreeProof
+    batched: BatchedLevelsProof
+    num_layers: int
+    distance: int
+    chunk_size: int
+    vectors: int
+    size: int
+    boundary_roots: tuple        # levels distance, 2*distance, ...
+    boundary_openings: tuple     # multi-openings (2 points each)
+
+    @property
+    def output(self):
+        return self.top_proof.output
+
+
+def _boundary_params(total: int, level: int, B: int, pc_rows: int,
+                     pc_queries: int):
+    from ..pc import standard as std
+    size_l = total >> level
+    K = max(2, size_l // B)
+    rows = min(pc_rows, max(4, (size_l // K) // 4))
+    return std.make_params(size_l, K, rows, queries=pc_queries)
+
+
+def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
+                  B: int, distance: int, pc_rows: int = 4,
+                  pc_queries: int = 16):
+    """Distance-batched variant of ``prove`` (same return contract).
+
+    Streams the level-0..layers range in ``layers/distance`` concurrent
+    batches (2*distance passes over the stream instead of 2*layers); the
+    batch-boundary levels are Elastic-committed and opened at both their
+    chained points, replacing the plain driver's per-level chaining."""
+    total = vectors * size
+    assert total & (total - 1) == 0
+    if distance > 0 and total > 2 * B:
+        layers = int(np.log2(total // (2 * B)))
+        if layers < 2 * distance or layers % distance:
+            distance = 0
+    if total <= 2 * B or distance <= 0:
+        proof, point, claim, state = prove(chunk_fn, vectors, size, state, B)
+        return proof, point, claim, state
+    batches = layers // distance
+
+    # --- commit batch-boundary levels (reference commit_layers,
+    # sumcheck.cpp:983-1011) ------------------------------------------------
+    from ..pc import elastic
+    commits = []
+    for b in range(1, batches):
+        l = b * distance
+        params = _boundary_params(total, l, B, pc_rows, pc_queries)
+        com = elastic.commit_stream(
+            lambda j, l=l, params=params: chunk_fn(l, j, params.B), params)
+        commits.append((l, com, params))
+        state = mimc.absorb(state, com.root.astype(jnp.uint64).reshape(4, 2))
+
+    # --- top in-memory tree ------------------------------------------------
+    top_stream = _read_top(chunk_fn, layers, total, B)
+    row = top_stream.shape[0] // vectors
+    rows = [top_stream[i * row:(i + 1) * row] for i in range(vectors)]
+    top, state = mul_tree.prove(rows, state)
+
+    # --- batched descent ----------------------------------------------------
+    r_ext, state = _extend_point(top.final_point, layers, distance, state)
+    bl_proof, points, claims, state = prove_batched_levels(
+        chunk_fn, total, layers, distance, top.final_point, state, B,
+        r_ext=r_ext)
+    prefixes = _batch_prefixes(r_ext, total, layers, distance)
+
+    # --- bind boundary claims through multi-point openings ------------------
+    # level l = b*distance (b >= 1) carries TWO claims: batch b's descent
+    # endpoint (points[b], claims[b]) and batch (b-1)'s streamed top claim
+    # claims0[b-1] at its r_ext prefix.  Batch batches-1's top claim is the
+    # in-memory tree's endpoint (the verifier checks it against
+    # top.final_eval directly).
+    openings = []
+    for (l, com, params) in commits:
+        b = l // distance
+        pts = [points[b], prefixes[b - 1]]
+        opening, state = elastic.open_stream_multi(
+            lambda j, l=l, params=params: chunk_fn(l, j, params.B),
+            com, pts, state)
+        openings.append(opening)
+
+    proof = BatchedMulTreeProof(
+        top_proof=top, batched=bl_proof, num_layers=layers,
+        distance=distance, chunk_size=B, vectors=vectors, size=size,
+        boundary_roots=tuple(com.root for (_, com, _) in commits),
+        boundary_openings=tuple(openings))
+    return proof, points[0], claims[0], state
+
+
+def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16):
+    """Replay a batched (or plain, by dispatch) mul-tree transcript."""
+    if isinstance(proof, StreamMulTreeProof):
+        return verify(proof, state, pc_rows=pc_rows, pc_queries=pc_queries)
+    ok = jnp.array(True)
+    B = proof.chunk_size
+    total = proof.vectors * proof.size
+    layers, distance = proof.num_layers, proof.distance
+    batches = layers // distance
+
+    from ..pc import elastic
+    for root in proof.boundary_roots:
+        state = mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
+
+    okt, r_top, state = mul_tree.verify(proof.top_proof, state)
+    ok = jnp.logical_and(ok, okt)
+
+    r_ext, state = _extend_point(r_top, layers, distance, state)
+    okb, points, claims, state = verify_batched_levels(
+        proof.batched, total, r_top, state, r_ext=r_ext)
+    ok = jnp.logical_and(ok, okb)
+    # coarsest batch's streamed top claim == the in-memory tree endpoint
+    ok = jnp.logical_and(ok, F.feq(proof.batched.claims0[batches - 1],
+                                   proof.top_proof.final_eval))
+
+    prefixes = _batch_prefixes(r_ext, total, layers, distance)
+    for oi, b in enumerate(range(1, batches)):
+        l = b * distance
+        params = _boundary_params(total, l, B, pc_rows, pc_queries)
+        pts = [points[b], prefixes[b - 1]]
+        opening = proof.boundary_openings[oi]
+        oke, state = elastic.verify_multi(proof.boundary_roots[oi], pts,
+                                          opening, params, state)
+        ok = jnp.logical_and(ok, jnp.array(bool(oke)))
+        ok = jnp.logical_and(ok, F.feq(opening.eval_claims[0], claims[b]))
+        ok = jnp.logical_and(ok, F.feq(opening.eval_claims[1],
+                                       proof.batched.claims0[b - 1]))
+
+    return ok, points[0], claims[0], state
+
+
 __all__ = ["StreamMulTreeProof", "LevelProof", "BatchedLevelsProof",
-           "flat_oracle", "prove", "verify",
+           "BatchedMulTreeProof",
+           "flat_oracle", "prove", "verify", "prove_batched",
+           "verify_batched",
            "prove_batched_levels", "verify_batched_levels"]

@@ -277,8 +277,9 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     else:
         w_oracle = ws.SequentialFoldOracle(
             ws.wiring_stream_factory(oracle, g.np2, B0, a, b), 16 * g.np2)
-    wiring_proof, p_w, c_w, state = mts.prove(w_oracle, 4, 4 * g.np2,
-                                              state, B0)
+    wiring_proof, p_w, c_w, state = mts.prove_batched(
+        w_oracle, 4, 4 * g.np2, state, B0, config.mt_distance,
+        pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
     timings["wiring"] = time.time() - t0
 
     # ---- 3. lookups ------------------------------------------------------
@@ -292,8 +293,9 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             l_oracle = ws.SequentialFoldOracle(
                 ws.lookup_stream_factory(oracle, g.size_l, B0, a, b,
                                          g.table_size, g.TS), 4 * g.size_l)
-        lookup_proof, p_l, c_l, state = mts.prove(l_oracle, 4, g.size_l,
-                                                  state, B0)
+        lookup_proof, p_l, c_l, state = mts.prove_batched(
+            l_oracle, 4, g.size_l, state, B0, config.mt_distance,
+            pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
         timings["lookups"] = time.time() - t0
 
     # ---- 4. gate consistency --------------------------------------------
@@ -625,14 +627,18 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     a, b = ab[0], ab[1]
 
     # ---- wiring mul-tree + permutation identity -------------------------
-    okw, p_w, c_w, state = mts.verify(proof.wiring_proof, state)
+    okw, p_w, c_w, state = mts.verify_batched(
+        proof.wiring_proof, state, pc_rows=pc_rows or 4,
+        pc_queries=config.resolved_pc_queries())
     ok = ok and bool(okw)
     out = proof.wiring_proof.output
     ok = ok and bool(F.feq(F.fmul(out[0], out[3]), F.fmul(out[1], out[2])))
 
     p_l = c_l = None
     if proof.lookup_mode:
-        okl, p_l, c_l, state = mts.verify(proof.lookup_proof, state)
+        okl, p_l, c_l, state = mts.verify_batched(
+            proof.lookup_proof, state, pc_rows=pc_rows or 4,
+            pc_queries=config.resolved_pc_queries())
         ok = ok and bool(okl)
         out = proof.lookup_proof.output
         ok = ok and bool(F.feq(F.fmul(out[0], out[3]),

@@ -122,3 +122,64 @@ def test_batched_levels_descent():
     lvl_d = mts.flat_oracle(flat)(distance, 0, total >> distance)
     got1 = poly.evaluate_vector(lvl_d, vpts[1])
     assert bool(F.feq(vcls[1], got1))
+
+
+def test_batched_driver_roundtrip():
+    """prove_batched/verify_batched: distance-batched descent with
+    Elastic-committed batch boundaries, same contract as the plain driver."""
+    rng = np.random.default_rng(29)
+    vectors, size, B = 2, 1024, 16      # total 2048, layers = 6
+    distance = 2                        # 3 batches; boundaries at lvls 2, 4
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+
+    proof, point, claim, _ = mts.prove_batched(
+        oracle, vectors, size, mimc.fresh_state(), B, distance,
+        pc_rows=4, pc_queries=8)
+    assert isinstance(proof, mts.BatchedMulTreeProof)
+    assert len(proof.boundary_roots) == 2
+
+    want = _products(flat, vectors, size)
+    assert bool(jnp.all(F.feq(proof.output, want)))
+
+    ok, vpoint, vclaim, _ = mts.verify_batched(
+        proof, mimc.fresh_state(), pc_rows=4, pc_queries=8)
+    assert bool(ok)
+    # batch 0's final claim binds the raw stream
+    assert bool(F.feq(vclaim, poly.evaluate_vector(flat, vpoint)))
+    assert np.array_equal(np.asarray(vpoint), np.asarray(point))
+
+
+def test_batched_driver_dispatches_plain():
+    """distance=0 (or too-shallow trees) falls back to the plain driver."""
+    rng = np.random.default_rng(31)
+    flat = _rand_vec(rng, 256)
+    oracle = mts.flat_oracle(flat)
+    proof, _, _, _ = mts.prove_batched(oracle, 2, 128, mimc.fresh_state(),
+                                       16, 0)
+    assert isinstance(proof, mts.StreamMulTreeProof)
+    ok, _, _, _ = mts.verify_batched(proof, mimc.fresh_state())
+    assert bool(ok)
+
+
+def test_batched_driver_rejects_tampered_boundary():
+    rng = np.random.default_rng(37)
+    vectors, size, B = 2, 1024, 16
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+    proof, _, _, _ = mts.prove_batched(
+        oracle, vectors, size, mimc.fresh_state(), B, 2,
+        pc_rows=4, pc_queries=8)
+    # tamper a streamed batch-top claim
+    bad = proof._replace(batched=proof.batched._replace(
+        claims0=proof.batched.claims0.at[0, 0].add(np.uint64(1))))
+    ok, _, _, _ = mts.verify_batched(bad, mimc.fresh_state(),
+                                     pc_rows=4, pc_queries=8)
+    assert not bool(ok)
+    # tamper a boundary root
+    bad = proof._replace(boundary_roots=(
+        proof.boundary_roots[0].at[0].add(np.uint32(1)),
+        proof.boundary_roots[1]))
+    ok, _, _, _ = mts.verify_batched(bad, mimc.fresh_state(),
+                                     pc_rows=4, pc_queries=8)
+    assert not bool(ok)
