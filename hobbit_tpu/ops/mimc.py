@@ -46,6 +46,39 @@ def mimc_hash(x, k):
     return F.fadd(h, k)
 
 
+def mimc_hash_segments(x, k, partitions: int = 4):
+    """Segmented MiMC: intermediate states at ``partitions`` boundaries.
+
+    The reference exposes the 161-round chain in segments for in-circuit
+    verification of the transcript (``mimc.cpp:68-88``): the first 160
+    rounds are split into ``partitions`` equal blocks whose end states are
+    recorded, then the final round (constant C[159]) and the ``+k`` output
+    whitening are applied to the last segment — so
+    ``mimc_hash_segments(x, k)[-1] == mimc_hash(x, k)``.
+
+    Returns [partitions, 2]."""
+    if 160 % partitions:
+        raise ValueError("partitions must divide 160")
+    per = 160 // partitions
+    consts = jnp.asarray(_COMMON)          # C[i] for rounds 1..160
+
+    def round_fn(h, c):
+        return _cube(F.fadd(F.fadd(h, k), c)), None
+
+    h = _cube(F.fadd(x, k))                # round 0
+    segs = []
+    for j in range(partitions):
+        lo = max(0, per * j - 1)           # consts index of first round > 0
+        hi = per * (j + 1) - 1
+        if hi > lo:
+            h, _ = jax.lax.scan(round_fn, h, consts[lo:hi])
+        segs.append(h)
+    # final round + output whitening fold into the last segment
+    h = _cube(F.fadd(F.fadd(h, k), consts[159]))
+    segs[-1] = F.fadd(h, k)
+    return jnp.stack(segs)
+
+
 def mimc_multihash(values):
     """Chain-hash a [n, 2] array: h = h + v + MiMC(v, h) (mimc.cpp:136-142)."""
 
@@ -131,6 +164,6 @@ def squeeze1(state):
 
 
 __all__ = [
-    "ROUNDS", "K_MIMC", "mimc_hash", "mimc_multihash",
+    "ROUNDS", "K_MIMC", "mimc_hash", "mimc_hash_segments", "mimc_multihash",
     "fresh_state", "absorb", "squeeze", "squeeze1",
 ]

@@ -14,9 +14,15 @@ f'(y^2) = (f(y)+f(-y))/2 + a*(f(y)-f(-y))/(2y) — the classic FRI fold
 coset-interleaved so one query's 16 preimage values are 4 adjacent Merkle
 leaves (the reference's stride-16 shuffle, Virgo.cpp:169-176).
 
+Query schedule: the reference targets ~100 bits per committed level via
+``queries = 100 / log2(1/rate)`` (Virgo.cpp:544,584 — `repeats = 100;
+//100-bit of security`).  Every level here re-encodes at rate 1/2, so the
+same formula gives 100 in-domain queries per level — the default below.
 Deviation (documented): the reference additionally samples out-of-domain
-"zetas" per iteration; we rely on in-domain queries alone (classic
-FRI/BaseFold soundness) with a configurable per-level query count.
+"zetas" per iteration (proximity-gap style); we meet the query-soundness
+target with in-domain queries alone (classic FRI/BaseFold analysis at
+rate 1/2), keeping the count configurable per call site — tests override
+it explicitly, production paths inherit the default.
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from ..ops import merkle, mimc, poly
 
 K_FOLD = 4                      # variables folded per iteration
 FINAL_SIZE = 1 << 6             # transmit the poly below this many coeffs
-QUERIES_PER_LEVEL = 40
+QUERIES_PER_LEVEL = 100     # 100-bit target at rate 1/2 (Virgo.cpp:544)
 
 
 class WhirCommitment(NamedTuple):
@@ -182,18 +188,16 @@ def prove(com: WhirCommitment, values, x, state,
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
 
         cosets = _deinterleave_gather(cur_inter, positions, 1 << domain_log)
-        # coset leaves: interleaved index p*16 + t -> 4 leaves of 4 values
-        coset_paths = jnp.stack([
-            jnp.stack([merkle.open_leaf(cur_tree, (p * 16 + 4 * l) // 4)
-                       for l in range(4)])
-            for p in positions])
-        nleaves = jnp.stack([
-            next_inter[4 * (_inter_index(p, next_m) // 4):
-                       4 * (_inter_index(p, next_m) // 4) + 4]
-            for p in positions])
-        next_paths = jnp.stack([
-            merkle.open_leaf(next_tree, _inter_index(p, next_m) // 4)
-            for p in positions])
+        # coset leaves: interleaved index p*16 + t -> 4 leaves of 4 values;
+        # one batched gather per tree (q*depth tiny dispatches otherwise)
+        q = len(positions)
+        cs_idx = [p * 4 + l for p in positions for l in range(4)]
+        coset_paths = merkle.open_leaves(cur_tree, cs_idx)
+        coset_paths = coset_paths.reshape(q, 4, *coset_paths.shape[1:])
+        ii = np.asarray([_inter_index(p, next_m) for p in positions])
+        row_idx = jnp.asarray((ii // 4)[:, None] * 4 + np.arange(4)[None, :])
+        nleaves = next_inter[row_idx]                       # [q, 4, 2]
+        next_paths = merkle.open_leaves(next_tree, (ii // 4).tolist())
 
         levels.append(WhirLevel(
             root=next_tree.root, queries=positions, cosets=cosets,
@@ -254,24 +258,27 @@ def verify(root, proof: WhirProof, x, y, state,
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
         ok = ok and positions == tuple(lvl.queries)
 
-        # membership of the 16 coset values in the current tree
-        for qi, p in enumerate(positions):
-            for l in range(4):
-                leaf_vals = lvl.cosets[qi, 4 * l: 4 * l + 4]
-                leaf = blake3.hash_field_leaves(leaf_vals[None])[0]
-                if not merkle.verify_leaf(cur_root, leaf, p * 4 + l,
-                                          lvl.coset_paths[qi, l]):
-                    ok = False
+        # membership of the 16 coset values in the current tree — one
+        # batched hash+verify over all q*4 leaves
+        q = len(positions)
+        coset_leaves = blake3.hash_field_leaves(
+            lvl.cosets.reshape(q * 4, 4, 2))
+        cs_idx = [p * 4 + l for p in positions for l in range(4)]
+        okb = merkle.verify_leaves_batch(
+            cur_root, coset_leaves, cs_idx,
+            lvl.coset_paths.reshape(q * 4, -1, 8))
+        ok = ok and bool(okb)
 
         # fold consistency against the next committed codeword
         folded = _coset_fold(lvl.cosets, chals, positions, domain_log)
-        for qi, p in enumerate(positions):
-            ii = _inter_index(p, next_m)
-            ok = ok and bool(F.feq(folded[qi], lvl.next_leaves[qi, ii % 4]))
-            leaf = blake3.hash_field_leaves(lvl.next_leaves[qi][None])[0]
-            if not merkle.verify_leaf(lvl.root, leaf, ii // 4,
-                                      lvl.next_paths[qi]):
-                ok = False
+        ii = np.asarray([_inter_index(p, next_m) for p in positions])
+        picked = jnp.take_along_axis(
+            lvl.next_leaves, jnp.asarray(ii % 4)[:, None, None], axis=1)[:, 0]
+        ok = ok and bool(jnp.all(F.feq(folded, picked)))
+        next_leaf_digests = blake3.hash_field_leaves(lvl.next_leaves)
+        okb = merkle.verify_leaves_batch(
+            lvl.root, next_leaf_digests, (ii // 4).tolist(), lvl.next_paths)
+        ok = ok and bool(okb)
 
         cur_root = lvl.root
         cur_size //= 1 << K_FOLD

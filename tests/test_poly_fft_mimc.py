@@ -211,3 +211,30 @@ def test_fft_matrix_sumcheck():
     # matrix_eval binds M~ at (full_pt)
     Mflat = M.reshape(-1, 2)
     assert bool(F.feq(mat_eval, poly.evaluate_vector(Mflat, full_pt)))
+
+
+def test_mimc_hash_segments_chain():
+    """Segment boundaries compose back to the full hash (mimc.cpp:68-88):
+    the last segment equals mimc_hash, and each inner boundary state
+    continues correctly when the remaining rounds are replayed from it."""
+    x, k = F.scalar(987654321), F.scalar(mimc.K_MIMC)
+    full = np.asarray(mimc.mimc_hash(x, k))
+    for parts in (2, 4, 8):
+        segs = np.asarray(mimc.mimc_hash_segments(x, k, parts))
+        assert segs.shape == (parts, 2)
+        assert np.array_equal(segs[-1], full)
+        # replay rounds per*j..160 from segment j-1's recorded state
+        per = 160 // parts
+        h = jnp.asarray(segs[0])
+        for i in range(per, 161):
+            c = F.scalar(i - 1)
+            h = F.fmul(F.fmul(F.fadd(F.fadd(h, k), c),
+                              F.fadd(F.fadd(h, k), c)),
+                       F.fadd(F.fadd(h, k), c))
+        assert np.array_equal(np.asarray(F.fadd(h, k)), full)
+
+
+def test_mimc_hash_segments_distinct_from_partial():
+    x, k = F.scalar(5), F.scalar(7)
+    segs = np.asarray(mimc.mimc_hash_segments(x, k, 4))
+    assert len({tuple(s) for s in segs}) == 4
