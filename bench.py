@@ -38,9 +38,13 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 # warm persistent compile cache (first e2e run populates it; subsequent
-# bench invocations measure execution, not compilation)
-_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_cache_tpu")
+# bench invocations measure execution, not compilation).  Lives OUTSIDE
+# the checkout (in ~/.cache) so it survives fresh clones on the same
+# host — on this remote-attached platform every XLA compile has a ~1s
+# floor, so a cold cache costs minutes regardless of program size.
+_CACHE = os.environ.get(
+    "HOBBIT_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "hobbit_tpu_xla"))
 os.makedirs(_CACHE, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -53,10 +53,12 @@ class HobbitConfig:
     # Distance-batched mul-tree descent (reference distance=5,
     # main.cpp -> sumcheck.cpp:1014-1621): 0 = plain per-level descent,
     # >0 = batch the bottom levels `mt_distance` at a time with Elastic
-    # commitments binding the batch boundaries.  Pays off when
-    # log2(N/B) >> distance (2^26+ traces); the plain descent is already
-    # sub-second at the flagship config.
-    mt_distance: int = 0
+    # commitments binding the batch boundaries.  Default matches the
+    # reference's 5; the driver automatically falls back to the plain
+    # descent when log2(N/(2B)) < 2*distance (flagship 2^17 stays plain,
+    # 2^24+ traces batch), and degrades to the largest divisor of the
+    # level count when 5 does not divide it.
+    mt_distance: int = 5
 
     def resolved_pc_queries(self) -> int:
         if self.pc_queries is not None:

@@ -259,4 +259,169 @@ def weight_vector(groups_r, tail_point, c: int, N: int):
     return W[:N]
 
 
-__all__ = ["CompressedSumcheckProof", "prove", "verify", "weight_vector"]
+__all__ = ["CompressedSumcheckProof", "prove", "verify", "weight_vector",
+           "CompressedPairsProof", "prove_pairs", "verify_pairs",
+           "TwoPassPairsProof", "prove_pairs_two_pass",
+           "verify_pairs_two_pass"]
+
+
+# ---------------------------------------------------------------------------
+# Two-pass fold-phase pairs engine (reference pass complexity).
+#
+# The reference's streaming GKR makes TWO passes total per phase
+# (prover.cpp:861-1211): pass 1 folds the chunk stream into B-resident
+# buffers under sequential Fiat-Shamir chunk weights while emitting
+# cross-term corrections, then chains the folded claim to the real stream
+# with a binding sumcheck over the chunk axis (the role its
+# convolution-consistency sumcheck plays, utils.cpp:149-179).  This is
+# that protocol, re-derived for products:
+#
+#   claim = sum_i <v_i, h_i>           (K2_i = <v_i, h_i> transmitted)
+#   Vf = sum_i w_i v_i, Hf = sum_i w_i h_i   (w_0 = 1, w_i from FS)
+#   <Vf, Hf> = sum_i w_i^2 K2_i + w_i K1_i   (K1_i = cross terms, transmitted)
+#   tail:    log B-round product sumcheck on (Vf, Hf)      -> point r_lo
+#   binding: per-chunk partial evals pv_i = v_i~(r_lo) etc.; a mixed
+#            sumcheck of <w, pv_p> / <w, ph_p> over the K chunk axis
+#            -> point r_hi;  V_p~(r_lo || r_hi) = pv_p~(r_hi).
+#
+# Unlike the coset-compressed engine above (one pass per c-variable
+# group), the final point is a STANDARD multilinear point — downstream
+# claims bind through ordinary beta tables / PC openings — and the pass
+# count is 2 independent of N/B.
+# ---------------------------------------------------------------------------
+
+
+class TwoPassPairsProof(NamedTuple):
+    k1: jnp.ndarray               # [K, 2] cross terms (k1[0] == 0)
+    k2: jnp.ndarray               # [K, 2] per-chunk product sums
+    tail: sc.MixedSumcheckProof   # over the folded B-sized buffers
+    binding: sc.MixedSumcheckProof  # over the K-sized partial evals
+    N: int
+    B: int
+    pairs: int
+
+
+def _fold_pass(pair_chunk_fns, K, state):
+    """Pass 1: sequential-FS chunk folding with cross-term emission."""
+    folds = None
+    k1s, k2s, ws = [], [], []
+    for i in range(K):
+        chunks = [(vf(i), hf(i)) for (vf, hf) in pair_chunk_fns]
+        k2 = None
+        for (v, h) in chunks:
+            t = F.fdot(v, h)
+            k2 = t if k2 is None else F.fadd(k2, t)
+        if folds is None:
+            k1 = F.zeros(())
+            folds = [(v, h) for (v, h) in chunks]
+            w = F.scalar(1)
+        else:
+            k1 = None
+            for (Vf, Hf), (v, h) in zip(folds, chunks):
+                t = F.fadd(F.fdot(Vf, h), F.fdot(v, Hf))
+                k1 = t if k1 is None else F.fadd(k1, t)
+            state = mimc.absorb(state, jnp.stack([k1, k2]))
+            state, w = mimc.squeeze1(state)
+            folds = [(F.fadd(Vf, F.fmul(w[None, :], v)),
+                      F.fadd(Hf, F.fmul(w[None, :], h)))
+                     for (Vf, Hf), (v, h) in zip(folds, chunks)]
+        k1s.append(k1)
+        k2s.append(k2)
+        ws.append(w)
+    return folds, jnp.stack(k1s), jnp.stack(k2s), jnp.stack(ws), state
+
+
+def prove_pairs_two_pass(pair_chunk_fns, N: int, B: int, state):
+    """Proves sum_p sum_x V_p(x) H_p(x) in TWO passes over the streams.
+
+    Returns (proof, point, state); point = r_lo || r_hi, and the per-pair
+    evaluations at it are ``proof.binding.final_evals["pv{p}"/"ph{p}"]``.
+    """
+    K = max(1, N // B)
+    P = len(pair_chunk_fns)
+    folds, k1, k2, w, state = _fold_pass(pair_chunk_fns, K, state)
+
+    arrays = {}
+    groups = []
+    for p, (Vf, Hf) in enumerate(folds):
+        arrays[f"V{p}"] = Vf
+        arrays[f"H{p}"] = Hf
+        groups.append((f"V{p}", f"H{p}"))
+    ones = jnp.zeros((P, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    tail, state = sc.prove_mixed(arrays, tuple(groups), ones, state)
+    r_lo = tail.challenges
+
+    # pass 2: per-chunk partial evaluations at r_lo
+    beta_lo = poly.beta_table(r_lo)
+    arrays2 = {"w": w}
+    groups2 = []
+    for p, (vf, hf) in enumerate(pair_chunk_fns):
+        pv = jnp.stack([F.fdot(vf(i), beta_lo) for i in range(K)])
+        ph = jnp.stack([F.fdot(hf(i), beta_lo) for i in range(K)])
+        arrays2[f"pv{p}"] = pv
+        arrays2[f"ph{p}"] = ph
+        groups2 += [("w", f"pv{p}"), ("w", f"ph{p}")]
+    state, gamma = mimc.squeeze1(state)
+    gpow = [F.scalar(1)]
+    for _ in range(2 * P - 1):
+        gpow.append(F.fmul(gpow[-1], gamma))
+    binding, state = sc.prove_mixed(arrays2, tuple(groups2),
+                                    jnp.stack(gpow), state)
+    point = jnp.concatenate([r_lo, binding.challenges], axis=0)
+    proof = TwoPassPairsProof(k1=k1, k2=k2, tail=tail, binding=binding,
+                              N=N, B=B, pairs=P)
+    return proof, point, state
+
+
+def verify_pairs_two_pass(proof: TwoPassPairsProof, claim, state):
+    """Returns (ok, point, final_evals, state); final_evals maps
+    "V{p}"/"H{p}" to the pair evaluations at point (compatible keys with
+    ``verify_pairs``)."""
+    K = proof.k2.shape[0]
+    P = proof.pairs
+    ok = jnp.array(True)
+
+    # 1. the transmitted per-chunk sums must carry the claim
+    ok = jnp.logical_and(ok, F.feq(F.fsum(proof.k2), claim))
+    # 2. replay the fold weights; accumulate the folded claim
+    ws = [F.scalar(1)]
+    c_fold = proof.k2[0]
+    for i in range(1, K):
+        state = mimc.absorb(state, jnp.stack([proof.k1[i], proof.k2[i]]))
+        state, w = mimc.squeeze1(state)
+        ws.append(w)
+        c_fold = F.fadd(c_fold, F.fadd(
+            F.fmul(w, proof.k1[i]),
+            F.fmul(F.fmul(w, w), proof.k2[i])))
+    groups = tuple((f"V{p}", f"H{p}") for p in range(P))
+    ones = jnp.zeros((P, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    okt, r_lo, state = sc.verify_mixed(proof.tail, c_fold, groups, ones,
+                                       state)
+    ok = jnp.logical_and(ok, okt)
+
+    # 3. binding claim from the folded finals
+    state, gamma = mimc.squeeze1(state)
+    gpow = [F.scalar(1)]
+    for _ in range(2 * P - 1):
+        gpow.append(F.fmul(gpow[-1], gamma))
+    b_claim = None
+    for p in range(P):
+        t = F.fadd(F.fmul(gpow[2 * p], proof.tail.final_evals[f"V{p}"]),
+                   F.fmul(gpow[2 * p + 1], proof.tail.final_evals[f"H{p}"]))
+        b_claim = t if b_claim is None else F.fadd(b_claim, t)
+    groups2 = tuple(g for p in range(P)
+                    for g in (("w", f"pv{p}"), ("w", f"ph{p}")))
+    okb, r_hi, state = sc.verify_mixed(proof.binding, b_claim,
+                                       groups2, jnp.stack(gpow), state)
+    ok = jnp.logical_and(ok, okb)
+    # 4. the weight MLE is verifier-computable from the replayed weights
+    w_direct = F.fdot(jnp.stack(ws), poly.beta_table(r_hi))
+    ok = jnp.logical_and(ok, F.feq(proof.binding.final_evals["w"],
+                                   w_direct))
+
+    point = jnp.concatenate([r_lo, r_hi], axis=0)
+    finals = {}
+    for p in range(P):
+        finals[f"V{p}"] = proof.binding.final_evals[f"pv{p}"]
+        finals[f"H{p}"] = proof.binding.final_evals[f"ph{p}"]
+    return ok, point, finals, state

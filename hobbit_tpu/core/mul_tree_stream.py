@@ -528,7 +528,12 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
     if distance > 0 and total > 2 * B:
         layers = int(np.log2(total // (2 * B)))
         if layers < 2 * distance or layers % distance:
-            distance = 0
+            # degrade to the largest divisor of layers <= distance (the
+            # reference fixes distance=5 and sizes its sweeps to match;
+            # the driver passes arbitrary trace sizes)
+            cands = [d for d in range(min(distance, layers // 2), 1, -1)
+                     if layers % d == 0]
+            distance = cands[0] if cands else 0
     if total <= 2 * B or distance <= 0:
         proof, point, claim, state = prove(chunk_fn, vectors, size, state, B)
         return proof, point, claim, state

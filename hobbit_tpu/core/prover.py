@@ -501,9 +501,16 @@ def _c_lane_spec(lookup_mode: bool):
 
 def _lane_lo(point, lane: int, lane_bits: int, lb: int):
     """Low-bits point for `lane`: lane bits replace the first lane_bits
-    coordinates of the opened point; truncate to the aggregate domain."""
-    bits = jnp.stack([F.scalar((lane >> j) & 1) for j in range(lane_bits)])
-    return jnp.concatenate([bits, point[lane_bits:]], axis=0)[:lb]
+    coordinates of the opened point; truncate to the aggregate domain.
+
+    Host-side numpy on purpose: each distinct point length otherwise
+    compiles its own stack/concatenate kernels (~1s apiece on the
+    remote-attached platform) for pure data movement."""
+    point = np.asarray(point)
+    bits = np.zeros((lane_bits, 2), dtype=np.uint64)
+    for j in range(lane_bits):
+        bits[j, 0] = (lane >> j) & 1
+    return np.concatenate([bits, point[lane_bits:]], axis=0)[:lb]
 
 
 def _extra_points(spec, pts_list, lane_bits: int, lb: int):
@@ -568,25 +575,28 @@ def _verify_multi(root, pts_list, opening, params, state,
 
 
 def _opening_points(gc_proof, p_w, p_l, g: Geometry, lookup_mode: bool):
-    """Per-commitment lists of full opening points."""
-    zero = F.scalar(0)
-    z1 = zero[None, :]
-    rho_gc = jnp.concatenate([gc_proof.mem_proof.challenges,
-                              gc_proof.bind_proof.challenges], axis=0)
+    """Per-commitment lists of full opening points (host numpy — point
+    assembly is pure data movement; device concatenates cost one XLA
+    compile per distinct shape)."""
+    z1 = np.zeros((1, 2), dtype=np.uint64)
+    rho_gc = np.concatenate([np.asarray(gc_proof.mem_proof.challenges),
+                             np.asarray(gc_proof.bind_proof.challenges)],
+                            axis=0)
+    p_w = np.asarray(p_w)
     tau_w = p_w[2:2 + g.log_np2]
     pts = {
-        "w": [jnp.concatenate([z1, z1, rho_gc], axis=0),
-              jnp.concatenate([z1, z1, tau_w], axis=0)],
+        "w": [np.concatenate([z1, z1, rho_gc], axis=0),
+              np.concatenate([z1, z1, tau_w], axis=0)],
         "f": [tau_w],
-        "c": [jnp.concatenate([z1, z1, z1, z1, rho_gc], axis=0),
-              jnp.concatenate([z1, z1, z1, z1, tau_w], axis=0)],
+        "c": [np.concatenate([z1, z1, z1, z1, rho_gc], axis=0),
+              np.concatenate([z1, z1, z1, z1, tau_w], axis=0)],
     }
     if lookup_mode:
-        tau_l = p_l[: int(np.log2(g.size_l))]
+        tau_l = np.asarray(p_l)[: int(np.log2(g.size_l))]
         tau_l_np2 = tau_l[: g.log_np2]
-        pts["c"].append(jnp.concatenate([z1, z1, z1, z1, tau_l_np2], axis=0))
-        pts["l"] = [jnp.concatenate([z1, z1, rho_gc], axis=0),
-                    jnp.concatenate([z1, z1, tau_l_np2], axis=0)]
+        pts["c"].append(np.concatenate([z1, z1, z1, z1, tau_l_np2], axis=0))
+        pts["l"] = [np.concatenate([z1, z1, rho_gc], axis=0),
+                    np.concatenate([z1, z1, tau_l_np2], axis=0)]
         pts["t"] = [tau_l[: int(np.log2(g.TS))]]
     return pts
 

@@ -119,8 +119,15 @@ def _phase1_tables(lyr, Wg, n, vals_below):
 
 
 def prove_circuit(circuit: layered.LayeredCircuit, inputs, state,
-                  B: int = 1 << 12, c: int = 2):
-    """Prove the whole circuit evaluation; returns (StreamGkrProof, state)."""
+                  B: int = 1 << 12, c: int = 2, engine: str = "two_pass"):
+    """Prove the whole circuit evaluation; returns (StreamGkrProof, state).
+
+    engine="two_pass" (default) runs each phase with the fold-phase +
+    binding engine — TWO passes over the value stream per phase, matching
+    the reference's pass complexity (prover.cpp:861-1211 + its
+    convolution-consistency chaining, utils.cpp:149-179).
+    engine="coset" uses the per-group coset-compressed rounds (one pass
+    per c-variable group)."""
     vals = layered.evaluate(circuit, inputs)
     d = circuit.depth
 
@@ -142,11 +149,16 @@ def prove_circuit(circuit: layered.LayeredCircuit, inputs, state,
 
         G1, G2 = _phase1_tables(lyr, Wg, n, vals[i])
         ones = jnp.zeros((n, 2), jnp.uint64).at[:, 0].set(1)
-        p1, gr1, tp1, state = cs.prove_pairs(
-            [(_chunk(V, B_l), _chunk(G1, B_l)),
-             (_chunk(G2, B_l), _chunk(ones, B_l))], n, B_l, c_l, state)
-        w1 = cs.weight_vector(gr1, tp1, c_l, n)
-        V_u = p1.tail.final_evals["V0"]
+        pairs1 = [(_chunk(V, B_l), _chunk(G1, B_l)),
+                  (_chunk(G2, B_l), _chunk(ones, B_l))]
+        if engine == "two_pass":
+            p1, pt1, state = cs.prove_pairs_two_pass(pairs1, n, B_l, state)
+            w1 = poly.beta_table(pt1)[:n]
+            V_u = p1.binding.final_evals["pv0"]
+        else:
+            p1, gr1, tp1, state = cs.prove_pairs(pairs1, n, B_l, c_l, state)
+            w1 = cs.weight_vector(gr1, tp1, c_l, n)
+            V_u = p1.tail.final_evals["V0"]
 
         a2, b2, c2, d2 = _tables(lyr, Wg, n, w1, vals[i])
         a_evals = jnp.stack([
@@ -155,11 +167,16 @@ def prove_circuit(circuit: layered.LayeredCircuit, inputs, state,
         state, w4 = mimc.squeeze(state, 4)
         H1 = F.fadd(F.fmul(w4[0][None, :], a2), F.fmul(w4[2][None, :], c2))
         H2 = F.fadd(F.fmul(w4[1][None, :], b2), F.fmul(w4[3][None, :], d2))
-        p2, gr2, tp2, state = cs.prove_pairs(
-            [(_chunk(V, B_l), _chunk(H1, B_l)),
-             (_chunk(H2, B_l), _chunk(ones, B_l))], n, B_l, c_l, state)
-        w2 = cs.weight_vector(gr2, tp2, c_l, n)
-        V_v = p2.tail.final_evals["V0"]
+        pairs2 = [(_chunk(V, B_l), _chunk(H1, B_l)),
+                  (_chunk(H2, B_l), _chunk(ones, B_l))]
+        if engine == "two_pass":
+            p2, pt2, state = cs.prove_pairs_two_pass(pairs2, n, B_l, state)
+            w2 = poly.beta_table(pt2)[:n]
+            V_v = p2.binding.final_evals["pv0"]
+        else:
+            p2, gr2, tp2, state = cs.prove_pairs(pairs2, n, B_l, c_l, state)
+            w2 = cs.weight_vector(gr2, tp2, c_l, n)
+            V_v = p2.tail.final_evals["V0"]
 
         layer_proofs.append(StreamGkrLayerProof(p1=p1, a_evals=a_evals,
                                                 p2=p2))
@@ -176,6 +193,7 @@ def prove_circuit(circuit: layered.LayeredCircuit, inputs, state,
 
 def verify_circuit(proof: StreamGkrProof, circuit: layered.LayeredCircuit,
                    state, B: int = 1 << 12, c: int = 2):
+    # engine dispatch is per-layer on the proof objects themselves
     """Replays the transcript.  Returns (ok, W, claim, state): the caller
     checks claim == <W, inputs> (direct, or via a PC opening)."""
     d = circuit.depth
@@ -196,9 +214,14 @@ def verify_circuit(proof: StreamGkrProof, circuit: layered.LayeredCircuit,
         lp = proof.layer_proofs[idx]
         Wg = W[: len(lyr.types)]
 
-        okp, gr1, tp1, fe1, state = cs.verify_pairs(lp.p1, claim, state)
+        if isinstance(lp.p1, cs.TwoPassPairsProof):
+            okp, pt1, fe1, state = cs.verify_pairs_two_pass(lp.p1, claim,
+                                                            state)
+            w1 = poly.beta_table(pt1)[:n]
+        else:
+            okp, gr1, tp1, fe1, state = cs.verify_pairs(lp.p1, claim, state)
+            w1 = cs.weight_vector(gr1, tp1, c_l, n)
         ok = jnp.logical_and(ok, okp)
-        w1 = cs.weight_vector(gr1, tp1, c_l, n)
         V_u = fe1["V0"]
         # ones pair must evaluate to 1; G1/G2 evals match the a_evals
         ok = jnp.logical_and(ok, F.feq(fe1["H1"], one))
@@ -213,9 +236,15 @@ def verify_circuit(proof: StreamGkrProof, circuit: layered.LayeredCircuit,
         for j in range(4):
             t = F.fmul(w4[j], lp.a_evals[j])
             combined = t if combined is None else F.fadd(combined, t)
-        okp2, gr2, tp2, fe2, state = cs.verify_pairs(lp.p2, combined, state)
+        if isinstance(lp.p2, cs.TwoPassPairsProof):
+            okp2, pt2, fe2, state = cs.verify_pairs_two_pass(lp.p2,
+                                                             combined, state)
+            w2 = poly.beta_table(pt2)[:n]
+        else:
+            okp2, gr2, tp2, fe2, state = cs.verify_pairs(lp.p2, combined,
+                                                         state)
+            w2 = cs.weight_vector(gr2, tp2, c_l, n)
         ok = jnp.logical_and(ok, okp2)
-        w2 = cs.weight_vector(gr2, tp2, c_l, n)
         V_v = fe2["V0"]
         ok = jnp.logical_and(ok, F.feq(fe2["H1"], one))
 

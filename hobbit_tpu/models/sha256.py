@@ -230,3 +230,127 @@ def _ror(x, r):
 
 
 __all__ = ["Sha256Builder", "build", "reference_digest"]
+
+
+# ---------------------------------------------------------------------------
+# GKR input-vector witness generator (the reference's mod==2 input mode)
+# ---------------------------------------------------------------------------
+
+_H0 = np.array([0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19],
+               dtype=np.uint64)
+_K256 = np.array([
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b, 0x59f111f1,
+    0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01, 0x243185be, 0x550c7dc3,
+    0x72be5d74, 0x80deb1fe, 0x9bdc06a7, 0xc19bf174, 0xe49b69c1, 0xefbe4786,
+    0x0fc19dc6, 0x240ca1cc, 0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da,
+    0x983e5152, 0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc, 0x53380d13,
+    0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85, 0xa2bfe8a1, 0xa81a664b,
+    0xc24b8b70, 0xc76c51a3, 0xd192e819, 0xd6990624, 0xf40e3585, 0x106aa070,
+    0x19a4c116, 0x1e376c08, 0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a,
+    0x5b9cca4f, 0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2], dtype=np.uint64)
+
+
+def _ror32(x, r):
+    x = np.uint64(x) & np.uint64(0xFFFFFFFF)
+    return np.uint64(((int(x) >> r) | (int(x) << (32 - r))) & 0xFFFFFFFF)
+
+
+def _bits32(x):
+    return np.array([(int(x) >> j) & 1 for j in range(32)], dtype=np.uint64)
+
+
+def get_sha_witness(words) -> np.ndarray:
+    """Build the 2^14 GKR input vector for one SHA-256 block.
+
+    TPU-native analog of ``witness_stream.cpp:58-224`` (the mod==2 GKR
+    input mode): message-schedule words + carry quotients, the 65-step
+    a..h working-variable evolution, the per-round a/e carry quotients,
+    and all the bit decompositions the arithmetized round function reads,
+    padded to 2^14.  Layout (reference order):
+
+      words[64] | quotients[64] | (a,b,c,d,e,f,g,h)[65 steps interleaved]
+      | (a_q,e_q)[64 interleaved] | words_bits[64*32] | a_bits | b_bits
+      | c_bits | e_bits | f_bits | g_bits (each 64*32) | 1 | 0-pad
+
+    Deviation (documented): the reference's ``ch`` accumulation indexes
+    ``g_bits[i][i]`` (witness_stream.cpp:165) — a transposed subscript
+    that its own circuit mirrors; we implement the standard
+    ch = (e AND f) XOR (NOT e AND g), verified against hashlib.
+
+    Returns [2^14, 2] uint64 (imaginary parts zero)."""
+    words = [np.uint64(int(w) & 0xFFFFFFFF) for w in words]
+    assert len(words) == 16
+    quotients = [np.uint64(0)] * 16
+    for i in range(16, 64):
+        w15, w2 = words[i - 15], words[i - 2]
+        s0 = int(_ror32(w15, 7)) ^ int(_ror32(w15, 18)) ^ (int(w15) >> 3)
+        s1 = int(_ror32(w2, 17)) ^ int(_ror32(w2, 19)) ^ (int(w2) >> 10)
+        temp = s0 + s1 + int(words[i - 16]) + int(words[i - 7])
+        quotients.append(np.uint64(temp >> 32))
+        words.append(np.uint64(temp & 0xFFFFFFFF))
+
+    a = np.zeros(65, dtype=np.uint64)
+    b = np.zeros(65, dtype=np.uint64)
+    c = np.zeros(65, dtype=np.uint64)
+    d = np.zeros(65, dtype=np.uint64)
+    e = np.zeros(65, dtype=np.uint64)
+    f = np.zeros(65, dtype=np.uint64)
+    g = np.zeros(65, dtype=np.uint64)
+    h = np.zeros(65, dtype=np.uint64)
+    a[0], b[0], c[0], d[0] = _H0[0], _H0[1], _H0[2], _H0[3]
+    e[0], f[0], g[0], h[0] = _H0[4], _H0[5], _H0[6], _H0[7]
+    a_q = np.zeros(64, dtype=np.uint64)
+    e_q = np.zeros(64, dtype=np.uint64)
+    for i in range(64):
+        S1 = int(_ror32(e[i], 6)) ^ int(_ror32(e[i], 11)) \
+            ^ int(_ror32(e[i], 25))
+        ch = ((int(e[i]) & int(f[i])) ^ (~int(e[i]) & int(g[i]))) \
+            & 0xFFFFFFFF
+        t1 = int(h[i]) + S1 + ch + int(words[i]) + int(_K256[i])
+        S0 = int(_ror32(a[i], 2)) ^ int(_ror32(a[i], 13)) \
+            ^ int(_ror32(a[i], 22))
+        maj = (int(a[i]) & int(b[i])) ^ (int(a[i]) & int(c[i])) \
+            ^ (int(b[i]) & int(c[i]))
+        t2 = S0 + maj
+        a_q[i] = np.uint64((t1 + t2) >> 32)
+        a[i + 1] = np.uint64((t1 + t2) & 0xFFFFFFFF)
+        e_q[i] = np.uint64((t1 + int(d[i])) >> 32)
+        e[i + 1] = np.uint64((t1 + int(d[i])) & 0xFFFFFFFF)
+        h[i + 1] = g[i]
+        g[i + 1] = f[i]
+        f[i + 1] = e[i]
+        d[i + 1] = c[i]
+        c[i + 1] = b[i]
+        b[i + 1] = a[i]
+
+    out: list = []
+    out.extend(int(w) for w in words)
+    out.extend(int(q) for q in quotients)
+    for i in range(65):
+        out.extend([int(a[i]), int(b[i]), int(c[i]), int(d[i]),
+                    int(e[i]), int(f[i]), int(g[i]), int(h[i])])
+    for i in range(64):
+        out.extend([int(a_q[i]), int(e_q[i])])
+    for i in range(64):
+        out.extend(int(v) for v in _bits32(words[i]))
+    for arr in (a, b, c, e, f, g):
+        for i in range(64):
+            out.extend(int(v) for v in _bits32(arr[i]))
+    out.append(1)
+    vec = np.zeros((1 << 14, 2), dtype=np.uint64)
+    vec[: len(out), 0] = np.array(out, dtype=np.uint64)
+    return vec
+
+
+def sha_witness_digest(vec: np.ndarray) -> bytes:
+    """Final SHA-256 state from a ``get_sha_witness`` vector (H + last
+    working variables), for checking against hashlib."""
+    off = 128
+    final = []
+    last = vec[off + 64 * 8: off + 65 * 8, 0]
+    for j in range(8):
+        final.append((int(_H0[j]) + int(last[j])) & 0xFFFFFFFF)
+    return b"".join(int(v).to_bytes(4, "big") for v in final)

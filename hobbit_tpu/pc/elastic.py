@@ -70,6 +70,39 @@ import functools
 
 
 @functools.lru_cache(maxsize=64)
+def _stream_kernels(params: std.TensorPCParams):
+    """Per-params jitted chunk kernels shared by every streaming
+    commit/open call.  Defining these as closures inside the open/commit
+    functions created a fresh function object (and thus a fresh ~10s XLA
+    compile of the tensor-encode graph) on EVERY call — the jit cache is
+    keyed on function identity."""
+    from ..utils.jitting import maybe_jit
+
+    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
+
+    @maybe_jit
+    def commit_step(chunk, prev):
+        codeword = enc.tensor_encode(spec, chunk)
+        return blake3.hash_chained_leaf(std._leaf_groups(codeword), prev)
+
+    @maybe_jit
+    def aggr_step1(aggr, b, chunk):
+        return F.fadd(aggr, F.fmul(b[None, :], chunk))
+
+    @maybe_jit
+    def aggr_stepP(aggrs, b, chunk):
+        # aggrs [P, B, 2]; b [P, 2]
+        return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
+
+    @maybe_jit
+    def reply_step(chunk, lid):
+        codeword = enc.tensor_encode(spec, chunk)
+        return std._leaf_groups(codeword)[lid]
+
+    return commit_step, aggr_step1, aggr_stepP, reply_step
+
+
+@functools.lru_cache(maxsize=64)
 def _full_commit_kernel(params: std.TensorPCParams):
     """Whole-commit kernel for a RESIDENT polynomial: lax.scan over the
     chunks inside ONE compiled call (each per-chunk dispatch costs real
@@ -164,14 +197,10 @@ def commit_stream(chunk_fn: Callable[[int], jnp.ndarray],
         return ElasticCommitment(tree=merkle.build_from_digests(prev),
                                  params=params)
 
-    spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
     num_leaves = (2 * params.rows // 4) * (2 * params.cols)
     prev = jnp.zeros((num_leaves, 8), dtype=jnp.uint32)
 
-    @maybe_jit
-    def _step(chunk, prev):
-        codeword = enc.tensor_encode(spec, chunk)
-        return blake3.hash_chained_leaf(std._leaf_groups(codeword), prev)
+    _step, _, _, _ = _stream_kernels(params)
 
     zero_update = None
     for i in range(params.K):
@@ -200,11 +229,7 @@ def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
     beta = poly.beta_table(x_hi)
 
     # ---- pass A: aggregate ------------------------------------------------
-    from ..utils.jitting import maybe_jit
-
-    @maybe_jit
-    def _aggr_step(aggr, b, chunk):
-        return F.fadd(aggr, F.fmul(b[None, :], chunk))
+    _, _aggr_step, _, _reply_kernel = _stream_kernels(params)
 
     aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
     for i in range(params.K):
@@ -220,12 +245,7 @@ def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
                 for r, c in zip(qrows, qcols)]
     lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
 
-    @maybe_jit
-    def _reply_step(chunk):
-        codeword = enc.tensor_encode(spec, chunk)
-        return std._leaf_groups(codeword)[lid]
-
-    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+    replies = [_reply_kernel(chunk_fn(i), lid) for i in range(params.K)]
     reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
     paths = merkle.open_leaves(com.tree, leaf_ids)
 
@@ -302,11 +322,7 @@ def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
     beta = poly.beta_table(x_hi)
 
     # pass A: aggregate (O(B) resident)
-    from ..utils.jitting import maybe_jit
-
-    @maybe_jit
-    def _aggr_step(aggr, b, chunk):
-        return F.fadd(aggr, F.fmul(b[None, :], chunk))
+    _, _aggr_step, _, _reply_kernel = _stream_kernels(params)
 
     aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
     for i in range(params.K):
@@ -322,12 +338,7 @@ def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
                 for r, c in zip(qrows, qcols)]
     lid = jnp.asarray(leaf_ids, dtype=jnp.int32)
 
-    @maybe_jit
-    def _reply_step(chunk):
-        codeword = enc.tensor_encode(spec, chunk)
-        return std._leaf_groups(codeword)[lid]
-
-    replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+    replies = [_reply_kernel(chunk_fn(i), lid) for i in range(params.K)]
     reply = jnp.stack(replies, axis=1)
     paths = merkle.open_leaves(com.tree, leaf_ids)
 
@@ -422,11 +433,7 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
         aggr_fn, reply_fn = _full_open_kernels(params)
         aggrs = aggr_fn(full, betas)
     else:
-        @maybe_jit
-        def _aggr_step(aggrs, b, chunk):
-            # aggrs [P, B, 2]; b [P, 2]
-            return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
-
+        _, _, _aggr_step, _reply_kernel = _stream_kernels(params)
         aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
         for i in range(params.K):
             aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
@@ -446,12 +453,7 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
     if full is not None:
         reply = reply_fn(full, lid)
     else:
-        @maybe_jit
-        def _reply_step(chunk):
-            codeword = enc.tensor_encode(spec, chunk)
-            return std._leaf_groups(codeword)[lid]
-
-        replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+        replies = [_reply_kernel(chunk_fn(i), lid) for i in range(params.K)]
         reply = jnp.stack(replies, axis=1)       # [q, K, 4, 2]
     paths = merkle.open_leaves(com.tree, leaf_ids)
     return ElasticMultiOpening(
@@ -505,10 +507,7 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
         aggr_fn, reply_fn = _full_open_kernels(params)
         aggrs = aggr_fn(full, betas)
     else:
-        @maybe_jit
-        def _aggr_step(aggrs, b, chunk):
-            return F.fadd(aggrs, F.fmul(b[:, None, :], chunk[None]))
-
+        _, _, _aggr_step, _reply_kernel = _stream_kernels(params)
         aggrs = jnp.zeros((P, params.B, 2), dtype=jnp.uint64)
         for i in range(params.K):
             aggrs = _aggr_step(aggrs, betas[:, i], chunk_fn(i))
@@ -528,12 +527,7 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
     if full is not None:
         reply = reply_fn(full, lid)
     else:
-        @maybe_jit
-        def _reply_step(chunk):
-            codeword = enc.tensor_encode(spec, chunk)
-            return std._leaf_groups(codeword)[lid]
-
-        replies = [_reply_step(chunk_fn(i)) for i in range(params.K)]
+        replies = [_reply_kernel(chunk_fn(i), lid) for i in range(params.K)]
         reply = jnp.stack(replies, axis=1)           # [q, K, 4, 2]
     paths = merkle.open_leaves(com.tree, leaf_ids)
 

@@ -207,8 +207,10 @@ def prove(com: WhirCommitment, values, x, state,
         domain_log = int(np.log2(next_m))
 
     state = mimc.absorb(state, coeffs)
+    sc_stack = (jnp.stack(sc_polys) if sc_polys
+                else jnp.zeros((0, 3, 2), dtype=jnp.uint64))
     return WhirProof(
-        sumcheck_polys=jnp.stack(sc_polys), levels=tuple(levels),
+        sumcheck_polys=sc_stack, levels=tuple(levels),
         final_poly=coeffs,
     ), y, state
 

@@ -11,8 +11,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache_tpu")
+_CACHE = os.environ.get(
+    "HOBBIT_XLA_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "hobbit_tpu_xla"))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 

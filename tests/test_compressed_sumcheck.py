@@ -6,7 +6,7 @@ import pytest
 
 from hobbit_tpu.core import compressed_sumcheck as cs
 from hobbit_tpu.ops import field as F
-from hobbit_tpu.ops import mimc
+from hobbit_tpu.ops import mimc, poly
 
 
 def _rf(rng, *shape):
@@ -48,3 +48,65 @@ def test_compressed_rejects_wrong_claim():
                               mimc.fresh_state())
     ok, *_ = cs.verify(proof, claim, mimc.fresh_state())
     assert not bool(ok)
+
+
+@pytest.mark.parametrize("N,B,P", [(256, 64, 1), (512, 64, 2)])
+def test_two_pass_pairs_roundtrip(N, B, P):
+    """Two-pass fold+binding engine: correct claims, standard point."""
+    rng = np.random.default_rng(41)
+    vs = [_rf(rng, N) for _ in range(P)]
+    hs = [_rf(rng, N) for _ in range(P)]
+    pairs = [(lambda i, v=v: v[i * B:(i + 1) * B],
+              lambda i, h=h: h[i * B:(i + 1) * B])
+             for v, h in zip(vs, hs)]
+    claim = None
+    for v, h in zip(vs, hs):
+        t = F.fsum(F.fmul(v, h))
+        claim = t if claim is None else F.fadd(claim, t)
+
+    proof, point, _ = cs.prove_pairs_two_pass(pairs, N, B,
+                                              mimc.fresh_state())
+    assert point.shape[0] == int(np.log2(N))
+    ok, vpoint, finals, _ = cs.verify_pairs_two_pass(
+        proof, claim, mimc.fresh_state())
+    assert bool(ok)
+    assert np.array_equal(np.asarray(vpoint), np.asarray(point))
+    for p in range(P):
+        assert bool(F.feq(finals[f"V{p}"],
+                          poly.evaluate_vector(vs[p], vpoint)))
+        assert bool(F.feq(finals[f"H{p}"],
+                          poly.evaluate_vector(hs[p], vpoint)))
+
+
+def test_two_pass_pairs_rejects_bad_claim():
+    rng = np.random.default_rng(43)
+    N, B = 256, 64
+    v, h = _rf(rng, N), _rf(rng, N)
+    pairs = [(lambda i: v[i * B:(i + 1) * B],
+              lambda i: h[i * B:(i + 1) * B])]
+    proof, _, _ = cs.prove_pairs_two_pass(pairs, N, B, mimc.fresh_state())
+    bad = F.fadd(F.fsum(F.fmul(v, h)), F.scalar(1))
+    ok, _, _, _ = cs.verify_pairs_two_pass(proof, bad, mimc.fresh_state())
+    assert not bool(ok)
+
+
+def test_two_pass_pass_count():
+    """The engine touches each stream exactly twice (the reference's pass
+    complexity) regardless of N/B."""
+    rng = np.random.default_rng(44)
+    N, B = 1024, 64                  # 16 chunks, 4 group-bits
+    v, h = _rf(rng, N), _rf(rng, N)
+    counts = {"v": 0, "h": 0}
+
+    def vf(i):
+        counts["v"] += 1
+        return v[i * B:(i + 1) * B]
+
+    def hf(i):
+        counts["h"] += 1
+        return h[i * B:(i + 1) * B]
+
+    cs.prove_pairs_two_pass([(vf, hf)], N, B, mimc.fresh_state())
+    K = N // B
+    assert counts["v"] == 2 * K
+    assert counts["h"] == 2 * K

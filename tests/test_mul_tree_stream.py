@@ -183,3 +183,22 @@ def test_batched_driver_rejects_tampered_boundary():
     ok, _, _, _ = mts.verify_batched(bad, mimc.fresh_state(),
                                      pc_rows=4, pc_queries=8)
     assert not bool(ok)
+
+
+def test_batched_driver_degrades_distance():
+    """A distance that does not divide the level count degrades to the
+    largest divisor (driver passes the reference's 5 unconditionally)."""
+    rng = np.random.default_rng(33)
+    vectors, size, B = 2, 1024, 16      # total 2048, layers = 6
+    flat = _rand_vec(rng, vectors * size)
+    oracle = mts.flat_oracle(flat)
+    # 5 does not divide 6 -> degrade to 3 (2 batches)
+    proof, point, claim, _ = mts.prove_batched(
+        oracle, vectors, size, mimc.fresh_state(), B, 5,
+        pc_rows=4, pc_queries=8)
+    assert isinstance(proof, mts.BatchedMulTreeProof)
+    assert proof.distance == 3
+    ok, vpoint, vclaim, _ = mts.verify_batched(
+        proof, mimc.fresh_state(), pc_rows=4, pc_queries=8)
+    assert bool(ok)
+    assert bool(F.feq(vclaim, poly.evaluate_vector(flat, vpoint)))

@@ -43,3 +43,36 @@ def test_sha256_parallel_blocks_match():
                        for j in range(4))) for i in range(8)]
         want = sha256.reference_digest(words[blk])
         assert got == want
+
+
+def test_get_sha_witness_matches_hashlib():
+    """The a..h evolution in the GKR input vector is real SHA-256
+    compression (witness_stream.cpp:58-224 analog; checked against
+    hashlib on a fully padded single block)."""
+    import hashlib
+    from hobbit_tpu.models import sha256 as sha_mod
+
+    msg = b"hobbit tpu witness"
+    block = msg + b"\x80" + b"\x00" * (55 - len(msg)) \
+        + (len(msg) * 8).to_bytes(8, "big")
+    words = [int.from_bytes(block[4 * i: 4 * i + 4], "big")
+             for i in range(16)]
+    vec = sha_mod.get_sha_witness(words)
+    assert vec.shape == (1 << 14, 2)
+    assert sha_mod.sha_witness_digest(vec) == hashlib.sha256(msg).digest()
+    # layout invariants: schedule words present, trailing 1 marker
+    n_used = 64 + 64 + 65 * 8 + 128 + 64 * 32 + 6 * 64 * 32 + 1
+    assert vec[n_used - 1, 0] == 1
+    assert not vec[n_used:, 0].any()
+
+
+def test_get_sha_witness_bits_decompose():
+    from hobbit_tpu.models import sha256 as sha_mod
+
+    words = list(range(1, 17))
+    vec = sha_mod.get_sha_witness(words)
+    off_bits = 64 + 64 + 65 * 8 + 128
+    for i in (0, 20, 63):
+        w = int(vec[i, 0])
+        bits = vec[off_bits + 32 * i: off_bits + 32 * (i + 1), 0]
+        assert sum(int(b) << j for j, b in enumerate(bits)) == w
