@@ -226,7 +226,9 @@ def verify_product_sumcheck(proof: SumcheckProof, claim, state, degree: int = 0)
     for j in range(1, proof.final_evals.shape[0]):
         prod = F.fmul(prod, proof.final_evals[j])
     ok = jnp.logical_and(ok, F.feq(prod, cur))
-    return ok, jnp.stack(chals), cur, state
+    pts = (jnp.stack(chals) if chals
+           else jnp.zeros((0, 2), dtype=jnp.uint64))
+    return ok, pts, cur, state
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +337,9 @@ def _verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
         t = F.fmul(weights[j], prod)
         total = t if total is None else F.fadd(total, t)
     ok = jnp.logical_and(ok, F.feq(total, cur))
-    return ok, jnp.stack(chals), state
+    pts = (jnp.stack(chals) if chals
+           else jnp.zeros((0, 2), dtype=jnp.uint64))
+    return ok, pts, state
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +454,9 @@ def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
         t = F.fmul(weights[gi], prod)
         total = t if total is None else F.fadd(total, t)
     ok = jnp.logical_and(ok, F.feq(total, cur))
-    return ok, jnp.stack(chals), state
+    pts = (jnp.stack(chals) if chals
+           else jnp.zeros((0, 2), dtype=jnp.uint64))
+    return ok, pts, state
 
 
 __all__ = [

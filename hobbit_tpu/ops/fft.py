@@ -123,4 +123,68 @@ def _batch_fft(v, inverse: bool):
     return v
 
 
-__all__ = ["fft", "ifft", "rs_extend"]
+# ---------------------------------------------------------------------------
+# Four-step (Bailey) FFT: the multi-chip decomposition.
+#
+# A length-N FFT splits as N = A x B: length-A column FFTs (batched over
+# the B columns), a twiddle multiply, then length-B row FFTs (batched
+# over the A rows).  On a device mesh the two batch axes carry sharding
+# constraints (parallel.mesh.shard_leading), so the column->row re-
+# sharding boundary is exactly the all-to-all exchange the reference's
+# OpenMP row loops become across chips (SURVEY section 2.5; reference row
+# FFTs: PC_utils.cpp:23-47).  Identity:
+#
+#   n = n1*B + n2, k = k1 + A*k2:
+#   X[k1 + A*k2] = FFT_B over n2 [ w_N^(n2*k1) * FFT_A over n1 [x] ]
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _four_step_twiddle(logn: int, logA: int, inverse: bool):
+    """w_N^(n2*k1) table [B, A] as a numpy array (host precompute, cached)."""
+    N, A = 1 << logn, 1 << logA
+    B = N >> logA
+    w = F.root_of_unity(logn)
+    if inverse:
+        w = F.py_finv(w)
+    pw = np.zeros((N, 2), dtype=np.uint64)
+    cur = (1, 0)
+    for i in range(N):
+        pw[i] = cur
+        cur = F.py_fmul(cur, w)
+    exps = (np.arange(B)[:, None] * np.arange(A)[None, :]) % N
+    return pw[exps]                                 # [B, A, 2]
+
+
+@maybe_jit(static_argnums=(1, 2))
+def fft_four_step(v, inverse: bool = False, logA: int | None = None):
+    """In-order FFT of v [n, 2] via the four-step decomposition; equals
+    ``fft(v, inverse)`` bit-exactly.  Both batched stages carry mesh
+    sharding constraints on their batch axes."""
+    from ..parallel import mesh as meshmod
+
+    n = v.shape[0]
+    logn = int(np.log2(n))
+    assert (1 << logn) == n
+    if logA is None:
+        logA = logn // 2
+    A = 1 << logA
+    B = n >> logA
+    if A == 1 or B == 1:
+        return fft(v, inverse)
+
+    mat = v.reshape(A, B, 2)                        # x[n1*B + n2]
+    cols = _batch_fft(meshmod.shard_leading(
+        jnp.moveaxis(mat, 0, 1)), inverse)          # [B, A, 2] over n1
+    tw = jnp.asarray(_four_step_twiddle(logn, logA, inverse))
+    T = F.fmul(cols, tw)                            # twiddle w_N^(n2*k1)
+    rows = _batch_fft(meshmod.shard_leading(
+        jnp.moveaxis(T, 0, 1)), inverse)            # [A, B, 2] over n2
+    out = jnp.moveaxis(rows, 0, 1).reshape(n, 2)    # X[k1 + A*k2]
+    if inverse:
+        # _batch_fft scaled each stage by 1/A and 1/B -> total 1/n already
+        pass
+    return out
+
+
+__all__ = ["fft", "ifft", "rs_extend", "fft_four_step"]

@@ -184,6 +184,83 @@ def verify_leaves_batch(root, leaf_digests, indices, paths,
     return bool(jnp.all(cur == root[None, :]))
 
 
+# ---------------------------------------------------------------------------
+# Instance-batched trees: I independent same-shape trees built/opened/
+# verified with ONE vectorized hash per level for the whole batch (the
+# recursion layer proves dozens of same-size WHIR instances per opening;
+# per-instance trees cost I x depth dispatches).
+# ---------------------------------------------------------------------------
+
+class BatchMerkleTree(NamedTuple):
+    levels: tuple       # levels[0] = [I, n, 8], ..., [-1] = [I, 1, 8]
+
+    @property
+    def roots(self):
+        return self.levels[-1][:, 0]        # [I, 8]
+
+
+def batch_build_from_digests(leaves, backend: str = "blake3"):
+    """leaves [I, n, 8] -> BatchMerkleTree (n a power of two)."""
+    I, n = leaves.shape[0], leaves.shape[1]
+    assert n & (n - 1) == 0
+    _, pairs = _BACKENDS[backend]
+    levels = [leaves]
+    cur = leaves
+    while cur.shape[1] > 1:
+        a = cur[:, 0::2].reshape(-1, 8)
+        b = cur[:, 1::2].reshape(-1, 8)
+        cur = pairs(a, b).reshape(I, cur.shape[1] // 2, 8)
+        levels.append(cur)
+    return BatchMerkleTree(levels=tuple(levels))
+
+
+def batch_commit_fields(values, backend: str = "blake3"):
+    """values [I, n, 2], 4 per leaf -> BatchMerkleTree."""
+    I, n = values.shape[0], values.shape[1]
+    assert n % 4 == 0
+    leaf_fn, _ = _BACKENDS[backend]
+    leaves = leaf_fn(values.reshape(I * (n // 4), 4, 2)).reshape(I, n // 4, 8)
+    return batch_build_from_digests(leaves, backend)
+
+
+@maybe_jit
+def _batch_open_kernel(levels, idx):
+    rows = []
+    pos = idx                                   # [I, q]
+    for level in levels:                        # [I, w, 8]
+        sib = jnp.take_along_axis(level, (pos ^ 1)[:, :, None], axis=1)
+        rows.append(sib)
+        pos = pos // 2
+    return jnp.stack(rows, axis=2)              # [I, q, depth, 8]
+
+
+def batch_open_leaves(tree: BatchMerkleTree, idx):
+    """idx [I, q] int array -> [I, q, depth, 8] sibling paths."""
+    idx = jnp.asarray(idx, dtype=jnp.int64)
+    if not tree.levels[:-1]:
+        I, q = idx.shape
+        return jnp.zeros((I, q, 0, 8), dtype=jnp.uint32)
+    return _batch_open_kernel(tuple(tree.levels[:-1]), idx)
+
+
+def batch_verify_leaves(roots, leaf_digests, idx, paths,
+                        backend: str = "blake3"):
+    """roots [I, 8]; digests [I, q, 8]; idx [I, q]; paths [I, q, d, 8]."""
+    _, pairs = _BACKENDS[backend]
+    I, q = leaf_digests.shape[0], leaf_digests.shape[1]
+    cur = leaf_digests.reshape(I * q, 8)
+    pos = jnp.asarray(idx, dtype=jnp.int64).reshape(I * q)
+    for d in range(paths.shape[2]):
+        sib = paths[:, :, d].reshape(I * q, 8)
+        odd = (pos & 1).astype(bool)[:, None]
+        left = jnp.where(odd, sib, cur)
+        right = jnp.where(odd, cur, sib)
+        cur = pairs(left, right)
+        pos = pos // 2
+    want = jnp.broadcast_to(roots[:, None, :], (I, q, 8)).reshape(I * q, 8)
+    return jnp.all(cur == want)
+
+
 def dedup_path_size(indices: Sequence[int], num_leaves: int) -> int:
     """Number of 32-byte digests actually transmitted for a batch of
     openings, counting shared path nodes once (verify_claim_opt_blake's
@@ -207,4 +284,6 @@ __all__ = [
     "MerkleTree", "build_from_digests", "commit_fields",
     "commit_fields_chained", "open_leaf", "open_leaves", "verify_leaf",
     "verify_leaves_batch", "dedup_path_size",
+    "BatchMerkleTree", "batch_build_from_digests", "batch_commit_fields",
+    "batch_open_leaves", "batch_verify_leaves",
 ]

@@ -163,7 +163,34 @@ def squeeze1(state):
     return state, rs[0]
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _expand_kernel(state, n: int):
+    k = F.scalar(K_MIMC)
+    state = mimc_hash(state, k)                 # seed absorbs the chain
+    ctr = jnp.zeros((n, 2), dtype=jnp.uint64)
+    ctr = ctr.at[:, 0].set(jnp.arange(1, n + 1, dtype=jnp.uint64))
+    outs = mimc_hash(ctr, state[None, :])       # ONE vectorized MiMC pass
+    return state, outs
+
+
+def expand(state, n: int):
+    """Counter-mode challenge expansion: one squeeze for a seed, then n
+    challenges out[i] = MiMC(i+1, seed) computed in PARALLEL.
+
+    Used for query-index sampling (hundreds of indices per opening): the
+    sequential ``squeeze`` chain costs n dependent 161-round MiMC
+    evaluations (a ~n-deep latency chain on device), while the
+    counter-mode expansion is one squeeze plus one batched MiMC — sound
+    Fiat-Shamir (the seed binds the transcript, the expansion is public
+    and injective per counter).  The reference uses libc ``rand()`` for
+    the same indices (Virgo.cpp:398 etc.); this is the deterministic
+    replacement.  Returns (state', [n, 2])."""
+    if n == 0:
+        return state, jnp.zeros((0, 2), dtype=jnp.uint64)
+    return _expand_kernel(state, n)
+
+
 __all__ = [
     "ROUNDS", "K_MIMC", "mimc_hash", "mimc_hash_segments", "mimc_multihash",
-    "fresh_state", "absorb", "squeeze", "squeeze1",
+    "fresh_state", "absorb", "squeeze", "squeeze1", "expand",
 ]

@@ -100,7 +100,7 @@ def open(message, com: BrakedownCommitment, x, params: BrakedownParams,
 
     aggr_tree = merkle.commit_fields(aggr)
     state = mimc.absorb(state, aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
 
     cols_vals = jnp.moveaxis(com.encoded, 0, 1)       # [2C, R, 2]
@@ -121,7 +121,7 @@ def verify(root, x, opening: BrakedownOpening, params: BrakedownParams,
 
     aggr_tree = merkle.commit_fields(opening.aggr)
     state = mimc.absorb(state, aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state
@@ -181,7 +181,7 @@ def open_brakingbase(message, com: BrakedownCommitment, x,
     state = mimc.absorb(state,
                         cw_data.outer.root.astype(jnp.uint64).reshape(4, 2))
     state = mimc.absorb(state, eval_claim)
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
 
     cols_vals = jnp.moveaxis(com.encoded, 0, 1)
@@ -224,7 +224,7 @@ def verify_brakingbase(root, x, opening: BrakingBaseOpening,
     state = mimc.absorb(state,
                         opening.cw_root.astype(jnp.uint64).reshape(4, 2))
     state = mimc.absorb(state, opening.eval_claim)
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state

@@ -101,7 +101,7 @@ def prove(com: AggFriCommitment, values, x, state,
 
     wc = whir.commit(aggr)
     state = mimc.absorb(state, wc.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, cons_queries)
+    state, qs = mimc.expand(state, cons_queries)
     m = 2 * sl
     idx = tuple(int(v) % m for v in np.asarray(qs)[:, 0])
 
@@ -133,7 +133,7 @@ def verify(root, proof: AggFriProof, x, y, n: int, state,
 
     state = mimc.absorb(state,
                         proof.whir_root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, cons_queries)
+    state, qs = mimc.expand(state, cons_queries)
     m = 2 * sl
     idx = tuple(int(v) % m for v in np.asarray(qs)[:, 0])
     ok = ok and idx == tuple(proof.cons_idx)

@@ -76,7 +76,7 @@ def open(message, com: bd.BrakedownCommitment, x, params: OrionParams,
     aggr_tree = merkle.commit_fields(aggr)
     state = mimc.absorb(state,
                         aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
 
     cols_vals = jnp.moveaxis(com.encoded, 0, 1)
@@ -115,7 +115,7 @@ def verify(root, x, opening: OrionOpening, params: OrionParams,
     aggr_tree = merkle.commit_fields(opening.aggr)
     state = mimc.absorb(state,
                         aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state

@@ -116,7 +116,7 @@ def open(message, com: PigeonCommitment, x, params: PigeonParams, state):
     aggr_tree = merkle.commit_fields(aggr, backend=BACKEND)
     state = mimc.absorb(state,
                         aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
 
     cols_vals = jnp.moveaxis(com.encoded, 0, 1)
@@ -134,7 +134,7 @@ def verify(root, x, opening: PigeonOpening, params: PigeonParams, code,
     aggr_tree = merkle.commit_fields(opening.aggr, backend=BACKEND)
     state = mimc.absorb(state,
                         aggr_tree.root.astype(jnp.uint64).reshape(4, 2))
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     idx = tuple(int(v) % (2 * params.cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state

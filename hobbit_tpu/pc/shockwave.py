@@ -109,7 +109,7 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     eval_claim = poly.evaluate_vector(aggr, x_lo)
     state = mimc.absorb(state, eval_claim)
 
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
 
     cols_vals = jnp.moveaxis(data.encoded, 0, 1)   # [2c, k, 2]
@@ -128,17 +128,21 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
 
     if cols > WHIR_THRESHOLD:
         # inner recursion: the aggregate is WHIR-committed and opened at
-        # both required points instead of transmitted (Virgo.cpp:479-517)
+        # both required points instead of transmitted (Virgo.cpp:479-517);
+        # the two openings run as one 2-instance whir batch
         from . import whir
-        wc = whir.commit(aggr)
-        state = mimc.absorb(state, wc.root.astype(jnp.uint64).reshape(4, 2))
-        wp_x, _, state = whir.prove(wc, aggr, x_lo, state)
+        coeffs1 = poly.to_coefficient_form(aggr)[None]
+        _, btree = whir._batch_encode(coeffs1)
+        root = btree.roots[0]
+        state = mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
         fpoint = p2.inner.challenges
-        wp_f, _, state = whir.prove(wc, aggr, fpoint[: lc], state)
+        values2 = jnp.stack([aggr, aggr])
+        xs2 = jnp.stack([x_lo, fpoint[:lc]])
+        wb, _, state = whir.prove_batch(values2, xs2, state)
         return ShockwaveOpening(
             eval_claim=eval_claim, aggr=None, queries=idx, reply=reply,
-            paths=paths, p1=p1, p2=p2, whir_root=wc.root,
-            wp_x=wp_x, wp_f=wp_f,
+            paths=paths, p1=p1, p2=p2, whir_root=root,
+            wp_x=wb, wp_f=None,
         ), state
 
     state = mimc.absorb(state, aggr)               # naive-mode transmission
@@ -162,9 +166,8 @@ class ShockwaveMultiOpening(NamedTuple):
     paths: jnp.ndarray
     p1s: tuple                       # per point indicator sumchecks
     p2s: tuple                       # per point FFT sumchecks
-    whir_roots: Optional[tuple] = None
-    wps_x: Optional[tuple] = None
-    wps_f: Optional[tuple] = None
+    whir_roots: Optional[jnp.ndarray] = None   # [P, 8]
+    whir_batch: Optional[object] = None        # whir.WhirBatchProof (2P)
 
 
 def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
@@ -185,7 +188,7 @@ def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
     eval_claims = jnp.stack(claims)
     state = mimc.absorb(state, eval_claims)
 
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
     cols_vals = jnp.moveaxis(data.encoded, 0, 1)
     reply = cols_vals[jnp.asarray(idx, dtype=jnp.int32)]
@@ -201,22 +204,26 @@ def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
         p2s.append(p2)
 
     if cols > WHIR_THRESHOLD:
+        # inner recursion, instance-batched: ONE whir commitment batch
+        # over the P aggregates, then ONE batched whir proof over the 2P
+        # (x_lo, fft-point) instances — per-instance transcript branches,
+        # one host round trip per level for the whole batch (sequential
+        # per-point whir proofs dominated the measured open wall clock)
         from . import whir
-        roots, wxs, wfs = [], [], []
-        for p in range(P):
-            wc = whir.commit(aggrs[p])
-            state = mimc.absorb(state,
-                                wc.root.astype(jnp.uint64).reshape(4, 2))
-            wp_x, _, state = whir.prove(wc, aggrs[p], points[p][:lc], state)
-            fpoint = p2s[p].inner.challenges
-            wp_f, _, state = whir.prove(wc, aggrs[p], fpoint[:lc], state)
-            roots.append(wc.root)
-            wxs.append(wp_x)
-            wfs.append(wp_f)
+        aggr_mat = jnp.stack(aggrs)                      # [P, cols, 2]
+        coeffs = jnp.stack([poly.to_coefficient_form(aggrs[p])
+                            for p in range(P)])
+        _, btree = whir._batch_encode(coeffs)
+        roots = btree.roots                              # [P, 8]
+        state = mimc.absorb(state, roots.astype(jnp.uint64))
+        values2 = jnp.concatenate([aggr_mat, aggr_mat], axis=0)
+        xs2 = jnp.stack([points[p][:lc] for p in range(P)]
+                        + [p2s[p].inner.challenges[:lc] for p in range(P)])
+        wb, _, state = whir.prove_batch(values2, xs2, state)
         return ShockwaveMultiOpening(
             eval_claims=eval_claims, aggrs=None, queries=idx, reply=reply,
             paths=paths, p1s=tuple(p1s), p2s=tuple(p2s),
-            whir_roots=tuple(roots), wps_x=tuple(wxs), wps_f=tuple(wfs),
+            whir_roots=roots, whir_batch=wb,
         ), state
 
     aggr_mat = jnp.stack(aggrs)
@@ -236,7 +243,7 @@ def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
     ok = True
 
     state = mimc.absorb(state, opening.eval_claims)
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state
@@ -269,18 +276,18 @@ def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
     if opening.whir_roots is not None:
         from . import whir
         one = F.scalar(1)
-        for p in range(P):
-            state = mimc.absorb(
-                state, opening.whir_roots[p].astype(jnp.uint64).reshape(4, 2))
-            okx, state = whir.verify(opening.whir_roots[p], opening.wps_x[p],
-                                     points[p][:lc],
-                                     opening.eval_claims[p], state)
-            ok = ok and bool(okx)
-            y_f = F.fmul(msg_evals[p],
-                         F.finv(F.fsub(one, fpoints[p][lc])))
-            okw, state = whir.verify(opening.whir_roots[p], opening.wps_f[p],
-                                     fpoints[p][:lc], y_f, state)
-            ok = ok and bool(okw)
+        state = mimc.absorb(state, opening.whir_roots.astype(jnp.uint64))
+        xs2 = jnp.stack([points[p][:lc] for p in range(P)]
+                        + [fpoints[p][:lc] for p in range(P)])
+        y_fs = [F.fmul(msg_evals[p], F.finv(F.fsub(one, fpoints[p][lc])))
+                for p in range(P)]
+        ys2 = jnp.concatenate(
+            [opening.eval_claims, jnp.stack(y_fs)], axis=0)
+        roots2 = jnp.concatenate([opening.whir_roots,
+                                  opening.whir_roots], axis=0)
+        okw, state = whir.verify_batch(roots2, opening.whir_batch, xs2,
+                                       ys2, state)
+        ok = ok and bool(okw)
         return ok, state
 
     state = mimc.absorb(state, opening.aggrs)
@@ -311,7 +318,7 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
     ok = True
 
     state = mimc.absorb(state, opening.eval_claim)
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
     if idx != tuple(opening.queries):
         return False, state
@@ -345,18 +352,19 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
     lc_bits = int(np.log2(cols))
     if opening.whir_root is not None:
         # WHIR-recursion mode: both aggregate evaluations are proven
-        # against the inner commitment; the per-query re-encode check is
-        # subsumed by the indicator + FFT sumchecks
+        # against the inner commitment (one 2-instance whir batch); the
+        # per-query re-encode check is subsumed by the indicator + FFT
+        # sumchecks
         from . import whir
         state = mimc.absorb(
             state, opening.whir_root.astype(jnp.uint64).reshape(4, 2))
-        okx, state = whir.verify(opening.whir_root, opening.wp_x, x_lo,
-                                 opening.eval_claim, state)
-        ok = ok and bool(okx)
         one = F.scalar(1)
         y_f = F.fmul(msg_eval, F.finv(F.fsub(one, fpoint[lc_bits])))
-        okw, state = whir.verify(opening.whir_root, opening.wp_f,
-                                 fpoint[:lc_bits], y_f, state)
+        xs2 = jnp.stack([x_lo, fpoint[:lc_bits]])
+        ys2 = jnp.stack([opening.eval_claim, y_f])
+        roots2 = jnp.stack([opening.whir_root, opening.whir_root])
+        okw, state = whir.verify_batch(roots2, opening.wp_x, xs2, ys2,
+                                       state)
         ok = ok and bool(okw)
         return ok, state
 

@@ -122,7 +122,7 @@ def _split_point(x, params: TensorPCParams):
 
 def derive_queries(state, params: TensorPCParams):
     """Fiat-Shamir query positions; returns (state, rows, cols)."""
-    state, qs = mimc.squeeze(state, params.queries)
+    state, qs = mimc.expand(state, params.queries)
     qn = np.asarray(qs)
     rows = tuple(int(v) % (2 * params.rows) for v in qn[:, 0])
     cols = tuple(int(v) % (2 * params.cols) for v in qn[:, 1])

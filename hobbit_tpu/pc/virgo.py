@@ -182,7 +182,7 @@ def fri_prove(codeword, state, queries: int = QUERIES,
     final = F.fmul(coeffs[: 1 << final_log], jnp.asarray(unscale))
     state = mimc.absorb(state, final)
 
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     half0 = codeword.shape[0] // 2
     idx = tuple(int(v) % half0 for v in np.asarray(qs)[:, 0])
 
@@ -213,7 +213,7 @@ def verify_fri(level0_pairs, proof: FriProof, domain_log0: int, state,
         state = mimc.absorb(state, r.astype(jnp.uint64).reshape(4, 2))
     state = mimc.absorb(state, proof.final_coeffs)
 
-    state, qs = mimc.squeeze(state, queries)
+    state, qs = mimc.expand(state, queries)
     half0 = 1 << (domain_log0 - 1)
     idx = tuple(int(v) % half0 for v in np.asarray(qs)[:, 0])
     ok = ok and idx == tuple(proof.query_idx)

@@ -33,6 +33,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
+from ..ops import blake3
 from ..ops import field as F
 from ..ops import fft as fftm
 from ..ops import merkle, mimc, poly
@@ -183,7 +184,7 @@ def prove(com: WhirCommitment, values, x, state,
         next_inter, next_tree = _encode(coeffs)
         state = mimc.absorb(state,
                             next_tree.root.astype(jnp.uint64).reshape(4, 2))
-        state, qs = mimc.squeeze(state, queries)
+        state, qs = mimc.expand(state, queries)
         next_m = coeffs.shape[0] * 2
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
 
@@ -255,7 +256,7 @@ def verify(root, proof: WhirProof, x, y, state,
             done += 1
             ri += 1
         state = mimc.absorb(state, lvl.root.astype(jnp.uint64).reshape(4, 2))
-        state, qs = mimc.squeeze(state, queries)
+        state, qs = mimc.expand(state, queries)
         next_m = (cur_size // (1 << K_FOLD)) * 2
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
         ok = ok and positions == tuple(lvl.queries)
@@ -296,4 +297,266 @@ def verify(root, proof: WhirProof, x, y, state,
 
 
 __all__ = ["WhirCommitment", "WhirProof", "commit", "prove", "verify",
+           "WhirBatchProof", "prove_batch", "verify_batch",
            "K_FOLD", "FINAL_SIZE", "QUERIES_PER_LEVEL"]
+
+
+# ---------------------------------------------------------------------------
+# Instance-batched WHIR: prove/verify I same-size instances SIMULTANEOUSLY.
+#
+# The recursion layer opens dozens of equal-size aggregates per proof
+# (shockwave multi-opens: two WHIR proofs per point per commitment).  Run
+# sequentially, each proof's per-level Fiat-Shamir forces its own
+# device->host round trip (~0.5s on a remote-attached chip) — the round
+# trips, not the math, dominated the measured open phase.  Here every
+# instance carries its own transcript branch (sub_i = MiMC(i+1, seed)
+# forked off the parent state; the final branch states are absorbed back),
+# all per-round hashing/folding/encoding/tree-building is vectorized over
+# the instance axis, and query positions for ALL instances cross the link
+# in ONE transfer per level.
+# ---------------------------------------------------------------------------
+
+class WhirBatchLevel(NamedTuple):
+    roots: jnp.ndarray                 # [I, 8] next codeword roots
+    queries: np.ndarray                # [I, q] positions (next domain)
+    cosets: jnp.ndarray                # [I, q, 16, 2]
+    coset_paths: jnp.ndarray           # [I, q*4, depth, 8]
+    next_leaves: jnp.ndarray           # [I, q, 4, 2]
+    next_paths: jnp.ndarray            # [I, q, depth, 8]
+
+
+class WhirBatchProof(NamedTuple):
+    sumcheck_polys: jnp.ndarray        # [I, rounds, 3, 2]
+    levels: tuple                      # of WhirBatchLevel
+    final_polys: jnp.ndarray           # [I, FINAL, 2]
+    n: int
+
+
+def _fork(state, I: int):
+    """Parent state -> (advanced parent, [I, 2] per-instance branches)."""
+    state, seed = mimc.squeeze1(state)
+    ctr = jnp.zeros((I, 2), dtype=jnp.uint64)
+    ctr = ctr.at[:, 0].set(jnp.arange(1, I + 1, dtype=jnp.uint64))
+    return state, mimc.mimc_hash(ctr, seed[None, :])
+
+
+def _babsorb(subs, vals):
+    """Absorb vals [I, m, 2] element-chains into per-instance states."""
+    for j in range(vals.shape[1]):
+        subs = mimc.mimc_hash(subs, vals[:, j])
+    return subs
+
+
+def _bsqueeze(subs):
+    k = F.scalar(mimc.K_MIMC)
+    subs = mimc.mimc_hash(subs, k[None, :])
+    return subs, subs
+
+
+def _bexpand(subs, q: int):
+    """Per-instance counter-mode query expansion; [I, q, 2]."""
+    k = F.scalar(mimc.K_MIMC)
+    seeds = mimc.mimc_hash(subs, k[None, :])
+    ctr = jnp.zeros((q, 2), dtype=jnp.uint64)
+    ctr = ctr.at[:, 0].set(jnp.arange(1, q + 1, dtype=jnp.uint64))
+    outs = mimc.mimc_hash(ctr[None, :, :], seeds[:, None, :])
+    return seeds, outs
+
+
+def _batch_encode(coeffs):
+    """[I, n, 2] -> (interleaved codewords [I, 2n, 2], BatchMerkleTree)."""
+    I, n = coeffs.shape[0], coeffs.shape[1]
+    padded = jnp.concatenate(
+        [coeffs, jnp.zeros_like(coeffs)], axis=1)
+    cw = fftm._batch_fft(padded, inverse=False)
+    g = 1 << K_FOLD
+    inter = jnp.moveaxis(cw.reshape(I, g, 2 * n // g, 2), 1, 2) \
+        .reshape(I, 2 * n, 2)
+    return inter, merkle.batch_commit_fields(inter)
+
+
+def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL):
+    """Prove f_i~(x_i) = y_i for I instances; returns (proof, ys, state).
+
+    values [I, n, 2]; xs [I, log2 n, 2].  The level-0 commitments are the
+    caller's: their roots must be absorbed into `state` beforehand (the
+    caller typically just committed them); level-0 codewords/trees are
+    recomputed here batched."""
+    I, n = values.shape[0], values.shape[1]
+    beta = jnp.stack([poly.beta_table(xs[i]) for i in range(I)]) \
+        if xs.ndim == 3 else poly.beta_table(xs)
+    ys = F.fsum(F.fmul(values, beta), axis=1)
+
+    coeffs = jnp.stack([poly.to_coefficient_form(values[i])
+                        for i in range(I)])
+    cur_inter, cur_tree = _batch_encode(coeffs)
+    domain_log = int(np.log2(2 * n))
+
+    state, subs = _fork(state, I)
+    v, b = values, beta
+    sc_polys = []
+    levels: List[WhirBatchLevel] = []
+    while v.shape[1] > FINAL_SIZE:
+        chals = []
+        for _ in range(K_FOLD):
+            a1, b1 = F.fsub(v[:, 1::2], v[:, 0::2]), v[:, 0::2]
+            a2, b2 = F.fsub(b[:, 1::2], b[:, 0::2]), b[:, 0::2]
+            cA = F.fsum(F.fmul(a1, a2), axis=1)
+            cB = F.fadd(F.fsum(F.fmul(a1, b2), axis=1),
+                        F.fsum(F.fmul(a2, b1), axis=1))
+            cC = F.fsum(F.fmul(b1, b2), axis=1)
+            coeffs3 = jnp.stack([cA, cB, cC], axis=1)      # [I, 3, 2]
+            subs = _babsorb(subs, coeffs3)
+            subs, r = _bsqueeze(subs)
+            rb = r[:, None, :]
+            v = F.fadd(v[:, 0::2], F.fmul(rb, F.fsub(v[:, 1::2],
+                                                     v[:, 0::2])))
+            b = F.fadd(b[:, 0::2], F.fmul(rb, F.fsub(b[:, 1::2],
+                                                     b[:, 0::2])))
+            ce = coeffs.reshape(I, coeffs.shape[1] // 2, 2, 2)
+            coeffs = F.fadd(ce[:, :, 0], F.fmul(rb, ce[:, :, 1]))
+            sc_polys.append(coeffs3)
+            chals.append(r)
+
+        next_inter, next_tree = _batch_encode(coeffs)
+        subs = _babsorb(
+            subs, next_tree.roots.astype(jnp.uint64).reshape(I, 4, 2))
+        subs, qs = _bexpand(subs, queries)
+        next_m = coeffs.shape[1] * 2
+        positions = np.asarray(qs)[:, :, 0] % next_m       # ONE transfer
+        pos_d = jnp.asarray(positions, dtype=jnp.int64)
+
+        g = 1 << K_FOLD
+        cs_idx = pos_d[:, :, None] * g + jnp.arange(g)[None, None, :]
+        cosets = jnp.take_along_axis(
+            cur_inter, cs_idx.reshape(I, -1)[:, :, None], axis=1) \
+            .reshape(I, queries, g, 2)
+        leaf_idx = (pos_d[:, :, None] * 4
+                    + jnp.arange(4)[None, None, :]).reshape(I, -1)
+        coset_paths = merkle.batch_open_leaves(cur_tree, leaf_idx)
+        ii = np.stack([[_inter_index(int(p), next_m) for p in positions[i]]
+                       for i in range(I)])
+        row_idx = jnp.asarray((ii // 4) * 4)[:, :, None] \
+            + jnp.arange(4)[None, None, :]
+        nleaves = jnp.take_along_axis(
+            next_inter, row_idx.reshape(I, -1)[:, :, None], axis=1) \
+            .reshape(I, queries, 4, 2)
+        next_paths = merkle.batch_open_leaves(next_tree,
+                                              jnp.asarray(ii // 4))
+        levels.append(WhirBatchLevel(
+            roots=next_tree.roots, queries=positions, cosets=cosets,
+            coset_paths=coset_paths, next_leaves=nleaves,
+            next_paths=next_paths))
+        cur_inter, cur_tree = next_inter, next_tree
+        domain_log = int(np.log2(next_m))
+
+    subs = _babsorb(subs, coeffs)
+    state = mimc.absorb(state, subs)                 # rejoin the branches
+    sc_stack = (jnp.stack(sc_polys, axis=1) if sc_polys
+                else jnp.zeros((I, 0, 3, 2), dtype=jnp.uint64))
+    return WhirBatchProof(sumcheck_polys=sc_stack, levels=tuple(levels),
+                          final_polys=coeffs, n=n), ys, state
+
+
+def _batch_coset_fold(cosets, chals, positions, domain_log: int):
+    """[I, q, 16, 2] coset values folded with per-instance challenge
+    lists; returns [I, q, 2]."""
+    I, q = cosets.shape[0], cosets.shape[1]
+    two_inv = F.make(*F.py_finv((2, 0)))
+    m = 1 << domain_log
+    stride = m // (1 << K_FOLD)
+    vals = cosets
+    pos = np.asarray(positions, dtype=np.int64)
+    cur_m = m
+    for i in range(K_FOLD):
+        half = vals.shape[2] // 2
+        w_inv = F.py_finv(F.root_of_unity(int(np.log2(cur_m))))
+        exps = (pos[:, :, None] + np.arange(half)[None, None, :] * stride)
+        inv_y = _pow_table(w_inv, exps % cur_m)     # [I, q, half, 2]
+        a, b = vals[:, :, :half], vals[:, :, half:]
+        s = F.fmul(F.fadd(a, b), two_inv[None, None, None, :])
+        d = F.fmul(F.fmul(F.fsub(a, b), two_inv[None, None, None, :]),
+                   inv_y)
+        vals = F.fadd(s, F.fmul(chals[i][:, None, None, :], d))
+        cur_m //= 2
+        pos = pos % cur_m
+    return vals[:, :, 0]
+
+
+def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
+                 queries: int = QUERIES_PER_LEVEL):
+    """Verify an I-instance batch; returns (ok, state).
+
+    roots0_absorbed: [I, 8] level-0 roots (must already be bound into
+    `state` by the caller, mirroring prove_batch)."""
+    I, n = proof.final_polys.shape[0], proof.n
+    ok = True
+    state, subs = _fork(state, I)
+    claims = ys
+    one = F.scalar(1)
+    eq_scalar = jnp.zeros((I, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    domain_log = int(np.log2(2 * n))
+    cur_roots = roots0_absorbed
+    cur_size = n
+    ri = 0
+    done = 0
+
+    for lvl in proof.levels:
+        chals = []
+        for _ in range(K_FOLD):
+            c3 = proof.sumcheck_polys[:, ri]               # [I, 3, 2]
+            s0 = c3[:, 2]
+            s1 = F.fadd(F.fadd(c3[:, 0], c3[:, 1]), c3[:, 2])
+            ok = ok and bool(jnp.all(F.feq(F.fadd(s0, s1), claims)))
+            subs = _babsorb(subs, c3)
+            subs, r = _bsqueeze(subs)
+            claims = F.fadd(F.fmul(F.fadd(F.fmul(c3[:, 0], r), c3[:, 1]),
+                                   r), c3[:, 2])
+            xj = xs[:, done]
+            e = F.fadd(F.fmul(F.fsub(one[None, :], xj),
+                              F.fsub(one[None, :], r)), F.fmul(xj, r))
+            eq_scalar = F.fmul(eq_scalar, e)
+            chals.append(r)
+            done += 1
+            ri += 1
+        subs = _babsorb(
+            subs, lvl.roots.astype(jnp.uint64).reshape(I, 4, 2))
+        subs, qs = _bexpand(subs, queries)
+        next_m = (cur_size // (1 << K_FOLD)) * 2
+        positions = np.asarray(qs)[:, :, 0] % next_m
+        ok = ok and np.array_equal(positions, np.asarray(lvl.queries))
+        q = queries
+
+        coset_leaves = blake3.hash_field_leaves(
+            lvl.cosets.reshape(I * q * 4, 4, 2)).reshape(I, q * 4, 8)
+        leaf_idx = (jnp.asarray(positions)[:, :, None] * 4
+                    + jnp.arange(4)[None, None, :]).reshape(I, -1)
+        ok = ok and bool(merkle.batch_verify_leaves(
+            cur_roots, coset_leaves, leaf_idx, lvl.coset_paths))
+
+        folded = _batch_coset_fold(lvl.cosets, chals, positions,
+                                   domain_log)
+        ii = np.stack([[_inter_index(int(p), next_m) for p in positions[i]]
+                       for i in range(I)])
+        picked = jnp.take_along_axis(
+            lvl.next_leaves, jnp.asarray(ii % 4)[:, :, None, None],
+            axis=2)[:, :, 0]
+        ok = ok and bool(jnp.all(F.feq(folded, picked)))
+        nl_digests = blake3.hash_field_leaves(
+            lvl.next_leaves.reshape(I * q, 4, 2)).reshape(I, q, 8)
+        ok = ok and bool(merkle.batch_verify_leaves(
+            lvl.roots, nl_digests, jnp.asarray(ii // 4), lvl.next_paths))
+
+        cur_roots = lvl.roots
+        cur_size //= 1 << K_FOLD
+        domain_log = int(np.log2(next_m))
+
+    subs = _babsorb(subs, proof.final_polys)
+    state = mimc.absorb(state, subs)
+    # final: claim_i == eq_i * <final values_i, beta(x_rest_i)>
+    finals = jnp.stack([poly.from_coefficient_form(proof.final_polys[i])
+                        for i in range(I)])
+    b_rest = jnp.stack([poly.beta_table(xs[i, done:]) for i in range(I)])
+    total = F.fmul(eq_scalar, F.fsum(F.fmul(finals, b_rest), axis=1))
+    ok = ok and bool(jnp.all(F.feq(total, claims)))
+    return ok, state

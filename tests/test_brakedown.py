@@ -10,6 +10,9 @@ from hobbit_tpu.ops import expanders
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import brakedown as bd
+import pytest
+
+pytestmark = pytest.mark.slow
 
 P = F.P
 RNG = np.random.default_rng(61)

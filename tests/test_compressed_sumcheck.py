@@ -8,6 +8,8 @@ from hobbit_tpu.core import compressed_sumcheck as cs
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 
+pytestmark = pytest.mark.slow
+
 
 def _rf(rng, *shape):
     re = rng.integers(0, F.P, size=shape, dtype=np.uint64)

@@ -8,6 +8,9 @@ from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import elastic
 from hobbit_tpu.pc import standard as std
+import pytest
+
+pytestmark = pytest.mark.slow
 
 P = F.P
 RNG = np.random.default_rng(55)

@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import fri_agg
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _rand_field(rng, *shape):

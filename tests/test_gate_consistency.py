@@ -10,6 +10,9 @@ from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.streams import trace as trc
 from hobbit_tpu.streams import views
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def make_chunks(program, inputs, B):

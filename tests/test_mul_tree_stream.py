@@ -8,6 +8,8 @@ from hobbit_tpu.core import mul_tree_stream as mts
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 
+pytestmark = pytest.mark.slow
+
 
 def _rand_vec(rng, n):
     re = rng.integers(1, F.P, size=(n,), dtype=np.uint64)

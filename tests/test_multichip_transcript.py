@@ -16,6 +16,9 @@ from hobbit_tpu.config import HobbitConfig
 from hobbit_tpu.core import prover
 from hobbit_tpu.models import circuits as C
 from hobbit_tpu.parallel import mesh as meshmod
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _tiny_setup():

@@ -9,6 +9,9 @@ from hobbit_tpu.ops import expanders
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import orion
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _rf(rng, *shape):

@@ -71,3 +71,20 @@ def test_sharded_beta_dot_match():
     beta, v = _rf(rng, 128), _rf(rng, 128)
     fn = kernels.sharded_beta_dot(m)
     assert bool(jnp.all(fn(beta, v) == F.fdot(beta, v)))
+
+
+def test_four_step_fft_sharded_matches():
+    """Four-step (Bailey) FFT under the virtual mesh: the column->row
+    resharding boundary is the cross-chip all-to-all (SURVEY section 2.5);
+    results are bit-identical to the single-device radix-2 FFT."""
+    from hobbit_tpu.ops import fft as fftm
+
+    rng = np.random.default_rng(12)
+    v = _rf(rng, 1 << 10)
+    want = np.asarray(fftm.fft(v))
+    mesh = meshmod.make_mesh(len(jax.devices()))
+    with meshmod.use_mesh(mesh):
+        got = np.asarray(fftm.fft_four_step(v))
+        got_inv = np.asarray(fftm.fft_four_step(v, True))
+    assert np.array_equal(want, got)
+    assert np.array_equal(np.asarray(fftm.ifft(v)), got_inv)

@@ -8,6 +8,8 @@ from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import standard as pc
 
+pytestmark = pytest.mark.slow
+
 
 def _rand_field(rng, *shape):
     re = rng.integers(0, F.P, size=shape, dtype=np.uint64)

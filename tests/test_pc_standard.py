@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import standard as pc
+import pytest
+
+pytestmark = pytest.mark.slow
 
 P = F.P
 RNG = np.random.default_rng(77)

@@ -238,3 +238,30 @@ def test_mimc_hash_segments_distinct_from_partial():
     x, k = F.scalar(5), F.scalar(7)
     segs = np.asarray(mimc.mimc_hash_segments(x, k, 4))
     assert len({tuple(s) for s in segs}) == 4
+
+
+def test_mimc_expand_counter_mode():
+    """expand = one squeeze + parallel counter-mode MiMC: deterministic,
+    prefix-consistent, distinct from sequential squeeze."""
+    st = mimc.fresh_state()
+    s1, a = mimc.expand(st, 8)
+    s2, b = mimc.expand(st, 8)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    _, c = mimc.expand(st, 4)
+    assert np.array_equal(np.asarray(a)[:4], np.asarray(c))
+    # the state advances exactly one squeeze
+    s3, _ = mimc.squeeze1(st)
+    assert np.array_equal(np.asarray(s1), np.asarray(s3))
+    # outputs differ from each other
+    flat = {tuple(v) for v in np.asarray(a)}
+    assert len(flat) == 8
+
+
+def test_fft_four_step_matches_radix2():
+    for logn in (5, 9):
+        v = rand_field(1 << logn)
+        assert np.array_equal(np.asarray(FFT.fft(v)),
+                              np.asarray(FFT.fft_four_step(v)))
+        assert np.array_equal(np.asarray(FFT.ifft(v)),
+                              np.asarray(FFT.fft_four_step(v, True)))

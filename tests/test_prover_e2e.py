@@ -9,6 +9,9 @@ from hobbit_tpu.config import HobbitConfig
 from hobbit_tpu.core import prover
 from hobbit_tpu.models import circuits as C
 from hobbit_tpu.ops import field as F
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 CFG = HobbitConfig(buffer_bits=6, pc_queries=16, shockwave_queries=16)  # tiny: exercise streaming

@@ -15,7 +15,9 @@ def test_sha256_single_block_digest():
     sb = sha256.Sha256Builder(1)
     x = sb.inputs(words)
     tr = trc.execute(prog, x)
-    fin = np.asarray(tr.fin_val)[:, 0]
+    # finals are emitted in DEATH order; map back to wire labels
+    fin = np.zeros(int(np.asarray(tr.fin_idx).max()) + 1, dtype=np.uint64)
+    fin[np.asarray(tr.fin_idx)] = np.asarray(tr.fin_val)[:, 0]
     got = [int(sum(int(fin[digest[i][j][0]]) << (8 * j) for j in range(4)))
            for i in range(8)]
     want = sha256.reference_digest(words[0])
@@ -37,7 +39,8 @@ def test_sha256_parallel_blocks_match():
     words = RNG.integers(0, 1 << 32, size=(2, 16), dtype=np.uint64)
     sb = sha256.Sha256Builder(2)
     tr = trc.execute(prog, sb.inputs(words))
-    fin = np.asarray(tr.fin_val)[:, 0]
+    fin = np.zeros(int(np.asarray(tr.fin_idx).max()) + 1, dtype=np.uint64)
+    fin[np.asarray(tr.fin_idx)] = np.asarray(tr.fin_val)[:, 0]
     for blk in range(2):
         got = [int(sum(int(fin[digest[i][j][blk]]) << (8 * j)
                        for j in range(4))) for i in range(8)]

@@ -8,6 +8,8 @@ from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import merkle, mimc, poly, sha256
 from hobbit_tpu.pc import pigeon
 
+pytestmark = pytest.mark.slow
+
 
 def _rf(rng, *shape):
     re = rng.integers(0, F.P, size=shape, dtype=np.uint64)

@@ -9,6 +9,9 @@ from hobbit_tpu.ops import fft as FFT
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import shockwave as sw
+import pytest
+
+pytestmark = pytest.mark.slow
 
 P = F.P
 RNG = np.random.default_rng(13)

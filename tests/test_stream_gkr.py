@@ -7,6 +7,9 @@ from hobbit_tpu.core import compressed_sumcheck as cs
 from hobbit_tpu.gkr import dsl, layered, stream_prover as sp
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _rf(rng, *shape):
@@ -63,9 +66,13 @@ def test_stream_circuit_full_chain():
     # input binding: claim == <W, inputs>
     assert bool(F.feq(claim, F.fdot(W, x)))
 
-    # tamper: corrupt a round polynomial -> reject
+    # tamper: corrupt the phase-1 transcript -> reject (engine-agnostic)
     lp0 = proof.layer_proofs[0]
-    if lp0.p1.round_evals:
+    if hasattr(lp0.p1, "k2"):            # two-pass engine
+        bad_p1 = lp0.p1._replace(k2=lp0.p1.k2.at[0, 0].add(np.uint64(1)))
+        bad = proof._replace(layer_proofs=(
+            lp0._replace(p1=bad_p1),) + proof.layer_proofs[1:])
+    elif lp0.p1.round_evals:             # coset engine
         re0 = lp0.p1.round_evals[0].at[0, 0].add(np.uint64(1))
         bad_p1 = lp0.p1._replace(round_evals=(re0,) + lp0.p1.round_evals[1:])
         bad = proof._replace(layer_proofs=(

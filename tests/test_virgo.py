@@ -6,6 +6,9 @@ import jax.numpy as jnp
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import virgo
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _rf(rng, *shape):

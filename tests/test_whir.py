@@ -7,6 +7,9 @@ import jax.numpy as jnp
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import whir
+import pytest
+
+pytestmark = pytest.mark.slow
 
 P = F.P
 RNG = np.random.default_rng(21)
@@ -68,3 +71,27 @@ def test_whir_rejects_tampered_coset():
     bad = proof._replace(levels=(bad_lvl,) + proof.levels[1:])
     ok, _ = whir.verify(com.root, bad, x, y, mimc.fresh_state(), queries=6)
     assert not ok
+
+
+def test_whir_batch_roundtrip_and_tamper():
+    """Instance-batched WHIR: per-instance transcript branches, one
+    query transfer per level; roundtrip + per-instance tamper."""
+    I, n, bits = 3, 1 << 9, 9
+    vals = rand_field((I, n))
+    xs = rand_field((I, bits))
+    coeffs = jnp.stack([poly.to_coefficient_form(vals[i]) for i in range(I)])
+    _, tree = whir._batch_encode(coeffs)
+    state = mimc.absorb(mimc.fresh_state(), tree.roots.astype(jnp.uint64))
+    proof, ys, _ = whir.prove_batch(vals, xs, state, queries=6)
+    for i in range(I):
+        assert bool(F.feq(ys[i], F.fdot(vals[i], poly.beta_table(xs[i]))))
+    ok, _ = whir.verify_batch(tree.roots, proof, xs, ys, state, queries=6)
+    assert bool(ok)
+    bad = ys.at[1].set(F.fadd(ys[1], F.scalar(1)))
+    okb, _ = whir.verify_batch(tree.roots, proof, xs, bad, state, queries=6)
+    assert not bool(okb)
+    lv = proof.levels[0]
+    tam = proof._replace(levels=(lv._replace(
+        cosets=lv.cosets.at[2, 0, 0].set(F.scalar(9))),) + proof.levels[1:])
+    okc, _ = whir.verify_batch(tree.roots, tam, xs, ys, state, queries=6)
+    assert not bool(okc)
