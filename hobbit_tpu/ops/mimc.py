@@ -32,8 +32,14 @@ def _cube(t):
     return F.fmul(F.fmul(t, t), t)
 
 
+@jax.jit
 def mimc_hash(x, k):
-    """MiMC(x, k): x, k field scalars [..., 2] (broadcastable)."""
+    """MiMC(x, k): x, k field scalars [..., 2] (broadcastable).
+
+    Jitted at module level: called eagerly, each invocation would re-trace
+    and re-lower the 161-round scan (the inner closure is fresh per call,
+    so the eager-scan lowering cache never hits — ~55ms of pure Python/MLIR
+    work per call, dominating tight transcript loops)."""
     x, k = jnp.broadcast_arrays(x, k)
     consts = jnp.asarray(_COMMON)
 

@@ -27,6 +27,8 @@ it explicitly, production paths inherit the default.
 
 from __future__ import annotations
 
+import functools
+
 from typing import List, NamedTuple, Tuple
 
 import numpy as np
@@ -318,7 +320,7 @@ __all__ = ["WhirCommitment", "WhirProof", "commit", "prove", "verify",
 
 class WhirBatchLevel(NamedTuple):
     roots: jnp.ndarray                 # [I, 8] next codeword roots
-    queries: np.ndarray                # [I, q] positions (next domain)
+    queries: jnp.ndarray               # [I, q] positions (next domain)
     cosets: jnp.ndarray                # [I, q, 16, 2]
     coset_paths: jnp.ndarray           # [I, q*4, depth, 8]
     next_leaves: jnp.ndarray           # [I, q, 4, 2]
@@ -330,6 +332,27 @@ class WhirBatchProof(NamedTuple):
     levels: tuple                      # of WhirBatchLevel
     final_polys: jnp.ndarray           # [I, FINAL, 2]
     n: int
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_table_full(logm: int, inverse: bool = True):
+    """Full [m, 2] power table of (the inverse of) the order-2^logm root
+    (host-precomputed once per size, indexed on device)."""
+    m = 1 << logm
+    w = F.root_of_unity(logm)
+    if inverse:
+        w = F.py_finv(w)
+    out = np.zeros((m, 2), dtype=np.uint64)
+    cur = (1, 0)
+    for i in range(m):
+        out[i] = cur
+        cur = F.py_fmul(cur, w)
+    return out
+
+
+def _inter_index_dev(p, m: int, groups: int = 1 << K_FOLD):
+    """Device version of _inter_index (elementwise on int arrays)."""
+    return (p % (m // groups)) * groups + p // (m // groups)
 
 
 def _fork(state, I: int):
@@ -423,8 +446,7 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL):
             subs, next_tree.roots.astype(jnp.uint64).reshape(I, 4, 2))
         subs, qs = _bexpand(subs, queries)
         next_m = coeffs.shape[1] * 2
-        positions = np.asarray(qs)[:, :, 0] % next_m       # ONE transfer
-        pos_d = jnp.asarray(positions, dtype=jnp.int64)
+        pos_d = (qs[:, :, 0] % next_m).astype(jnp.int64)   # stays on device
 
         g = 1 << K_FOLD
         cs_idx = pos_d[:, :, None] * g + jnp.arange(g)[None, None, :]
@@ -434,17 +456,15 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL):
         leaf_idx = (pos_d[:, :, None] * 4
                     + jnp.arange(4)[None, None, :]).reshape(I, -1)
         coset_paths = merkle.batch_open_leaves(cur_tree, leaf_idx)
-        ii = np.stack([[_inter_index(int(p), next_m) for p in positions[i]]
-                       for i in range(I)])
-        row_idx = jnp.asarray((ii // 4) * 4)[:, :, None] \
-            + jnp.arange(4)[None, None, :]
+        ii = _inter_index_dev(pos_d, next_m)
+        row_idx = (ii // 4)[:, :, None] * 4 \
+            + jnp.arange(4, dtype=jnp.int64)[None, None, :]
         nleaves = jnp.take_along_axis(
             next_inter, row_idx.reshape(I, -1)[:, :, None], axis=1) \
             .reshape(I, queries, 4, 2)
-        next_paths = merkle.batch_open_leaves(next_tree,
-                                              jnp.asarray(ii // 4))
+        next_paths = merkle.batch_open_leaves(next_tree, ii // 4)
         levels.append(WhirBatchLevel(
-            roots=next_tree.roots, queries=positions, cosets=cosets,
+            roots=next_tree.roots, queries=pos_d, cosets=cosets,
             coset_paths=coset_paths, next_leaves=nleaves,
             next_paths=next_paths))
         cur_inter, cur_tree = next_inter, next_tree
@@ -460,19 +480,21 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL):
 
 def _batch_coset_fold(cosets, chals, positions, domain_log: int):
     """[I, q, 16, 2] coset values folded with per-instance challenge
-    lists; returns [I, q, 2]."""
-    I, q = cosets.shape[0], cosets.shape[1]
+    lists; positions stay on DEVICE (full inverse-root power tables are
+    host-precomputed per size and indexed on device).  Returns
+    [I, q, 2]."""
     two_inv = F.make(*F.py_finv((2, 0)))
     m = 1 << domain_log
     stride = m // (1 << K_FOLD)
     vals = cosets
-    pos = np.asarray(positions, dtype=np.int64)
+    pos = jnp.asarray(positions, dtype=jnp.int64)
     cur_m = m
     for i in range(K_FOLD):
         half = vals.shape[2] // 2
-        w_inv = F.py_finv(F.root_of_unity(int(np.log2(cur_m))))
-        exps = (pos[:, :, None] + np.arange(half)[None, None, :] * stride)
-        inv_y = _pow_table(w_inv, exps % cur_m)     # [I, q, half, 2]
+        table = jnp.asarray(_pow_table_full(int(np.log2(cur_m))))
+        exps = (pos[:, :, None]
+                + jnp.arange(half, dtype=jnp.int64)[None, None, :] * stride)
+        inv_y = table[exps % cur_m]                 # [I, q, half, 2]
         a, b = vals[:, :, :half], vals[:, :, half:]
         s = F.fmul(F.fadd(a, b), two_inv[None, None, None, :])
         d = F.fmul(F.fmul(F.fsub(a, b), two_inv[None, None, None, :]),
@@ -523,29 +545,30 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
             subs, lvl.roots.astype(jnp.uint64).reshape(I, 4, 2))
         subs, qs = _bexpand(subs, queries)
         next_m = (cur_size // (1 << K_FOLD)) * 2
-        positions = np.asarray(qs)[:, :, 0] % next_m
-        ok = ok and np.array_equal(positions, np.asarray(lvl.queries))
+        positions = (qs[:, :, 0] % next_m).astype(jnp.int64)
+        ok = ok and bool(jnp.all(positions == jnp.asarray(
+            lvl.queries, dtype=jnp.int64)))
         q = queries
 
         coset_leaves = blake3.hash_field_leaves(
             lvl.cosets.reshape(I * q * 4, 4, 2)).reshape(I, q * 4, 8)
-        leaf_idx = (jnp.asarray(positions)[:, :, None] * 4
-                    + jnp.arange(4)[None, None, :]).reshape(I, -1)
+        leaf_idx = (positions[:, :, None] * 4
+                    + jnp.arange(4, dtype=jnp.int64)[None, None, :]) \
+            .reshape(I, -1)
         ok = ok and bool(merkle.batch_verify_leaves(
             cur_roots, coset_leaves, leaf_idx, lvl.coset_paths))
 
         folded = _batch_coset_fold(lvl.cosets, chals, positions,
                                    domain_log)
-        ii = np.stack([[_inter_index(int(p), next_m) for p in positions[i]]
-                       for i in range(I)])
+        ii = _inter_index_dev(positions, next_m)
         picked = jnp.take_along_axis(
-            lvl.next_leaves, jnp.asarray(ii % 4)[:, :, None, None],
+            lvl.next_leaves, (ii % 4)[:, :, None, None],
             axis=2)[:, :, 0]
         ok = ok and bool(jnp.all(F.feq(folded, picked)))
         nl_digests = blake3.hash_field_leaves(
             lvl.next_leaves.reshape(I * q, 4, 2)).reshape(I, q, 8)
         ok = ok and bool(merkle.batch_verify_leaves(
-            lvl.roots, nl_digests, jnp.asarray(ii // 4), lvl.next_paths))
+            lvl.roots, nl_digests, ii // 4, lvl.next_paths))
 
         cur_roots = lvl.roots
         cur_size //= 1 << K_FOLD

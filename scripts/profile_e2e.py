@@ -57,9 +57,13 @@ def main():
         phases = " ".join(f"{k}={v:.2f}" for k, v in proof.timings.items())
         print(f"  prove[{run}]: {total:.2f}s   ({phases})", flush=True)
 
-    t0 = time.perf_counter()
-    ok, _ = prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)
-    print(f"  verify: {time.perf_counter()-t0:.2f}s ok={ok}", flush=True)
+    from hobbit_tpu.utils import metrics
+    print(f"  proof size: {metrics.proof_size_kb(proof):.1f} KB", flush=True)
+    for run in ("cold", "warm"):
+        t0 = time.perf_counter()
+        ok, _ = prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)
+        print(f"  verify[{run}]: {time.perf_counter()-t0:.2f}s ok={ok}",
+              flush=True)
 
 
 if __name__ == "__main__":
