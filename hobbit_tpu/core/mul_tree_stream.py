@@ -574,7 +574,7 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
     for (l, com, params) in commits:
         b = l // distance
         pts = [points[b], prefixes[b - 1]]
-        opening, state = elastic.open_stream_multi(
+        opening, state = elastic.open_stream_multi_recursive(
             lambda j, l=l, params=params: chunk_fn(l, j, params.B),
             com, pts, state)
         openings.append(opening)
@@ -618,8 +618,8 @@ def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16):
         params = _boundary_params(total, l, B, pc_rows, pc_queries)
         pts = [points[b], prefixes[b - 1]]
         opening = proof.boundary_openings[oi]
-        oke, state = elastic.verify_multi(proof.boundary_roots[oi], pts,
-                                          opening, params, state)
+        oke, _, state = elastic.verify_multi_recursive(
+            proof.boundary_roots[oi], pts, opening, params, state)
         ok = jnp.logical_and(ok, jnp.array(bool(oke)))
         ok = jnp.logical_and(ok, F.feq(opening.eval_claims[0], claims[b]))
         ok = jnp.logical_and(ok, F.feq(opening.eval_claims[1],

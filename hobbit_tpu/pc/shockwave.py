@@ -127,18 +127,23 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     p2, _, state = fsc.prove_fft(aggr, p1.challenges, state)
 
     if cols > WHIR_THRESHOLD:
-        # inner recursion: the aggregate is WHIR-committed and opened at
-        # both required points instead of transmitted (Virgo.cpp:479-517);
-        # the two openings run as one 2-instance whir batch
+        # inner recursion: the aggregate is WHIR-committed and both
+        # required claims (x_lo and the FFT-sumcheck point) are proven by
+        # ONE gamma-weighted folding run instead of being transmitted
+        # (Virgo.cpp:479-517) or run as two instances: the weight vector
+        # beta_{x_lo} + gamma * beta_{fpoint} is still multilinear.
         from . import whir
         coeffs1 = poly.to_coefficient_form(aggr)[None]
         _, btree = whir._batch_encode(coeffs1)
         root = btree.roots[0]
         state = mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
         fpoint = p2.inner.challenges
-        values2 = jnp.stack([aggr, aggr])
-        xs2 = jnp.stack([x_lo, fpoint[:lc]])
-        wb, _, state = whir.prove_batch(values2, xs2, state)
+        state, gam = mimc.squeeze1(state)
+        xs2 = jnp.stack([jnp.asarray(x_lo, dtype=jnp.uint64),
+                         fpoint[:lc]])[None]            # [1, 2, lc, 2]
+        gammas = jnp.stack([F.scalar(1), gam])[None]    # [1, 2, 2]
+        wb, _, state = whir.prove_batch(aggr[None], xs2, state,
+                                        gammas=gammas)
         return ShockwaveOpening(
             eval_claim=eval_claim, aggr=None, queries=idx, reply=reply,
             paths=paths, p1=p1, p2=p2, whir_root=root,
@@ -153,159 +158,95 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
 
 
 # ---------------------------------------------------------------------------
-# Multi-point opening: shared queries/replies/paths; per-point indicator +
-# FFT sumchecks and (above the threshold) per-point WHIR openings of one
-# shared WHIR commitment per point's aggregate.
+# Multi-point opening: a delta-RLC 2-product sumcheck merges every point
+# claim on the committed vector into ONE random point, then a single
+# single-point open proves that point.  The weight MLE W(u) =
+# sum_j delta^j eq(x_j, u) is multilinear, so the merge costs one
+# quadratic sumcheck over N and the verifier evaluates W at the final
+# point in closed form (P * log N mults).  Replaces the round-2 design
+# (per-point indicator + FFT sumchecks and a 2P-instance WHIR batch)
+# whose proofs dominated both Ps and the open-phase wall clock.
+# Reference opens per point (Virgo.cpp:435-517); sharing is sound because
+# delta is sampled after the claims and the commitment are bound.
 # ---------------------------------------------------------------------------
 
 class ShockwaveMultiOpening(NamedTuple):
     eval_claims: jnp.ndarray         # [P, 2]
-    aggrs: Optional[jnp.ndarray]     # [P, cols, 2] transmitted (naive mode)
-    queries: Tuple[int, ...]
-    reply: jnp.ndarray               # [q, k, 2] shared columns
-    paths: jnp.ndarray
-    p1s: tuple                       # per point indicator sumchecks
-    p2s: tuple                       # per point FFT sumchecks
-    whir_roots: Optional[jnp.ndarray] = None   # [P, 8]
-    whir_batch: Optional[object] = None        # whir.WhirBatchProof (2P)
+    p0: sc.SumcheckProof             # delta-merge sumcheck over the vector
+    inner: ShockwaveOpening          # single-point open at p0's point
+
+
+def _eq_evals(points, rho):
+    """[P, 2] eq(x_j, rho) for full-domain points x_j."""
+    pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64) for x in points])
+    one = F.scalar(1)
+    t = F.fmul(pts, rho[None, :, :])                       # x_b * r_b
+    t = F.fadd(F.fadd(t, t),                               # 2xr + 1 - x - r
+               F.fsub(F.fsub(one[None, None], pts), rho[None, :, :]))
+    acc = t[:, 0]
+    for b in range(1, t.shape[1]):
+        acc = F.fmul(acc, t[:, b])
+    return acc
 
 
 def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
-    """Open f at every point in `points`; queries/replies/Merkle shared."""
+    """Open f at every point in `points` (list of [log2 N, 2]).
+
+    One delta-batched merge sumcheck + one inner single-point open; the
+    caller must have absorbed the commitment root before calling."""
     k, N = data.k, data.N
     cols = N // k
     lc = int(np.log2(cols))
     P = len(points)
-    aggrs, aggr_tensors, claims = [], [], []
+    claims = []
+    blos, bhis = [], []
     for x in points:
         x_lo, x_hi = x[:lc], x[lc:]
-        beta_rows = poly.beta_table(x_hi)[:k]
-        aggr = F.fsum(F.fmul(beta_rows[:, None, :], data.matrix), axis=0)
-        aggrs.append(aggr)
-        aggr_tensors.append(
-            F.fsum(F.fmul(beta_rows[:, None, :], data.encoded), axis=0))
-        claims.append(poly.evaluate_vector(aggr, x_lo))
+        blo, bhi = poly.beta_table(x_lo), poly.beta_table(x_hi)
+        blos.append(blo)
+        bhis.append(bhi)
+        aggr = F.fsum(F.fmul(bhi[:, None, :], data.matrix), axis=0)
+        claims.append(F.fsum(F.fmul(aggr, blo), axis=0))
     eval_claims = jnp.stack(claims)
     state = mimc.absorb(state, eval_claims)
 
-    state, qs = mimc.expand(state, queries)
-    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
-    cols_vals = jnp.moveaxis(data.encoded, 0, 1)
-    reply = cols_vals[jnp.asarray(idx, dtype=jnp.int32)]
-    paths = merkle.open_leaves(data.outer, idx)
-
-    state, s = mimc.squeeze1(state)
-    indicator = _weighted_indicator(idx, s, 2 * cols)
-    p1s, p2s = [], []
-    for p in range(P):
-        p1, state = sc.prove_2product(aggr_tensors[p], indicator, state)
-        p2, _, state = fsc.prove_fft(aggrs[p], p1.challenges, state)
-        p1s.append(p1)
-        p2s.append(p2)
-
-    if cols > WHIR_THRESHOLD:
-        # inner recursion, instance-batched: ONE whir commitment batch
-        # over the P aggregates, then ONE batched whir proof over the 2P
-        # (x_lo, fft-point) instances — per-instance transcript branches,
-        # one host round trip per level for the whole batch (sequential
-        # per-point whir proofs dominated the measured open wall clock)
-        from . import whir
-        aggr_mat = jnp.stack(aggrs)                      # [P, cols, 2]
-        coeffs = jnp.stack([poly.to_coefficient_form(aggrs[p])
-                            for p in range(P)])
-        _, btree = whir._batch_encode(coeffs)
-        roots = btree.roots                              # [P, 8]
-        state = mimc.absorb(state, roots.astype(jnp.uint64))
-        values2 = jnp.concatenate([aggr_mat, aggr_mat], axis=0)
-        xs2 = jnp.stack([points[p][:lc] for p in range(P)]
-                        + [p2s[p].inner.challenges[:lc] for p in range(P)])
-        wb, _, state = whir.prove_batch(values2, xs2, state)
-        return ShockwaveMultiOpening(
-            eval_claims=eval_claims, aggrs=None, queries=idx, reply=reply,
-            paths=paths, p1s=tuple(p1s), p2s=tuple(p2s),
-            whir_roots=roots, whir_batch=wb,
-        ), state
-
-    aggr_mat = jnp.stack(aggrs)
-    state = mimc.absorb(state, aggr_mat)
-    return ShockwaveMultiOpening(
-        eval_claims=eval_claims, aggrs=aggr_mat, queries=idx, reply=reply,
-        paths=paths, p1s=tuple(p1s), p2s=tuple(p2s),
-    ), state
+    state, d = mimc.squeeze1(state)
+    deltas = poly.powers(d, P)
+    W = None
+    for j in range(P):
+        wj = F.fmul(F.fmul(deltas[j], bhis[j])[:, None, :],
+                    blos[j][None, :, :])                   # [k, cols, 2]
+        W = wj if W is None else F.fadd(W, wj)
+    p0, state = sc.prove_2product(data.matrix.reshape(N, 2),
+                                  W.reshape(N, 2), state)
+    inner, state = open(data, p0.challenges, state, queries=queries)
+    return ShockwaveMultiOpening(eval_claims=eval_claims, p0=p0,
+                                 inner=inner), state
 
 
 def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
                  k: int, N: int, state, queries: int = QUERIES):
     """Returns (ok, state)."""
-    cols = N // k
-    lc = int(np.log2(cols))
     P = len(points)
-    ok = True
-
-    state = mimc.absorb(state, opening.eval_claims)
-    state, qs = mimc.expand(state, queries)
-    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
-    if idx != tuple(opening.queries):
+    if opening.eval_claims.shape[0] != P:
         return False, state
+    state = mimc.absorb(state, opening.eval_claims)
 
-    col_roots = _column_roots(jnp.moveaxis(opening.reply, 1, 0))
-    okm = merkle.verify_leaves_batch(data_root, col_roots, idx,
-                                     opening.paths)
-    ok = ok and bool(okm)
-
-    state, s = mimc.squeeze1(state)
-    spow = poly.powers(s, len(idx))
-    indicator = _weighted_indicator(idx, s, 2 * cols)
-    fpoints, msg_evals = [], []
-    for p in range(P):
-        x_hi = points[p][lc:]
-        beta_rows = poly.beta_table(x_hi)[:k]
-        comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
-        claim = F.fsum(F.fmul(spow, comb), axis=0)
-        okp, point, cur, state = sc.verify_product_sumcheck(
-            opening.p1s[p], claim, state, 2)
-        ok = ok and bool(okp)
-        ok = ok and bool(F.feq(opening.p1s[p].final_evals[1],
-                               poly.evaluate_vector(indicator, point)))
-        okf, fpoint, msg_eval, state = fsc.verify_fft(
-            opening.p2s[p], point, opening.p1s[p].final_evals[0], state)
-        ok = ok and bool(okf)
-        fpoints.append(fpoint)
-        msg_evals.append(msg_eval)
-
-    if opening.whir_roots is not None:
-        from . import whir
-        one = F.scalar(1)
-        state = mimc.absorb(state, opening.whir_roots.astype(jnp.uint64))
-        xs2 = jnp.stack([points[p][:lc] for p in range(P)]
-                        + [fpoints[p][:lc] for p in range(P)])
-        y_fs = [F.fmul(msg_evals[p], F.finv(F.fsub(one, fpoints[p][lc])))
-                for p in range(P)]
-        ys2 = jnp.concatenate(
-            [opening.eval_claims, jnp.stack(y_fs)], axis=0)
-        roots2 = jnp.concatenate([opening.whir_roots,
-                                  opening.whir_roots], axis=0)
-        okw, state = whir.verify_batch(roots2, opening.whir_batch, xs2,
-                                       ys2, state)
-        ok = ok and bool(okw)
-        return ok, state
-
-    state = mimc.absorb(state, opening.aggrs)
-    for p in range(P):
-        aggr = opening.aggrs[p]
-        ok = ok and bool(F.feq(poly.evaluate_vector(aggr, points[p][:lc]),
-                               opening.eval_claims[p]))
-        padded = jnp.concatenate(
-            [aggr, jnp.zeros((2 * cols - aggr.shape[0], 2), jnp.uint64)])
-        ok = ok and bool(F.feq(poly.evaluate_vector(padded, fpoints[p]),
-                               msg_evals[p]))
-        enc_aggr = enc.rs_encode(aggr[None])[0]
-        x_hi = points[p][lc:]
-        beta_rows = poly.beta_table(x_hi)[:k]
-        comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
-        sel = enc_aggr[jnp.asarray(idx)]
-        ok = ok and bool(jnp.all(F.feq(comb, sel)))
-    return ok, state
+    state, d = mimc.squeeze1(state)
+    deltas = poly.powers(d, P)
+    claim = F.fsum(F.fmul(deltas, opening.eval_claims), axis=0)
+    okp, rho, cur, state = sc.verify_product_sumcheck(opening.p0, claim,
+                                                      state, 2)
+    ok = bool(okp)
+    want_w = F.fsum(F.fmul(deltas, _eq_evals(points, rho)), axis=0)
+    ok = ok and bool(F.feq(opening.p0.final_evals[1], want_w))
+    ok = ok and bool(F.feq(opening.p0.final_evals[0],
+                           opening.inner.eval_claim))
+    if not ok:
+        return False, state
+    oki, state = verify(data_root, opening.inner, rho, k, N, state,
+                        queries=queries)
+    return ok and bool(oki), state
 
 
 def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
@@ -351,20 +292,23 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
 
     lc_bits = int(np.log2(cols))
     if opening.whir_root is not None:
-        # WHIR-recursion mode: both aggregate evaluations are proven
-        # against the inner commitment (one 2-instance whir batch); the
+        # WHIR-recursion mode: both aggregate evaluations are proven by
+        # one gamma-weighted folding run against the inner commitment; the
         # per-query re-encode check is subsumed by the indicator + FFT
         # sumchecks
         from . import whir
         state = mimc.absorb(
             state, opening.whir_root.astype(jnp.uint64).reshape(4, 2))
+        state, gam = mimc.squeeze1(state)
         one = F.scalar(1)
         y_f = F.fmul(msg_eval, F.finv(F.fsub(one, fpoint[lc_bits])))
-        xs2 = jnp.stack([x_lo, fpoint[:lc_bits]])
-        ys2 = jnp.stack([opening.eval_claim, y_f])
-        roots2 = jnp.stack([opening.whir_root, opening.whir_root])
-        okw, state = whir.verify_batch(roots2, opening.wp_x, xs2, ys2,
-                                       state)
+        xs2 = jnp.stack([jnp.asarray(x_lo, dtype=jnp.uint64),
+                         fpoint[:lc_bits]])[None]
+        ys2 = jnp.stack([opening.eval_claim, y_f])[None]
+        gammas = jnp.stack([F.scalar(1), gam])[None]
+        okw, state = whir.verify_batch(opening.whir_root[None],
+                                       opening.wp_x, xs2, ys2, state,
+                                       gammas=gammas)
         ok = ok and bool(okw)
         return ok, state
 

@@ -398,16 +398,36 @@ def _batch_encode(coeffs):
     return inter, merkle.batch_commit_fields(inter)
 
 
-def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL):
-    """Prove f_i~(x_i) = y_i for I instances; returns (proof, ys, state).
+def _norm_points(xs, gammas, I: int):
+    """Normalize xs to [I, M, bits, 2] and gammas to [I, M, 2]."""
+    xs = jnp.asarray(xs, dtype=jnp.uint64)
+    if xs.ndim == 3:
+        xs = xs[:, None]
+    M = xs.shape[1]
+    if gammas is None:
+        gammas = jnp.zeros((I, M, 2), dtype=jnp.uint64).at[:, :, 0].set(1)
+    return xs, jnp.asarray(gammas, dtype=jnp.uint64)
 
-    values [I, n, 2]; xs [I, log2 n, 2].  The level-0 commitments are the
-    caller's: their roots must be absorbed into `state` beforehand (the
-    caller typically just committed them); level-0 codewords/trees are
-    recomputed here batched."""
+
+def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL,
+                gammas=None):
+    """Prove gamma-combined claims sum_j gamma_ij f_i~(x_ij) = y_i for I
+    instances; returns (proof, ys, state).
+
+    values [I, n, 2]; xs [I, log2 n, 2] (single claim per instance) or
+    [I, M, log2 n, 2] with gammas [I, M, 2] (M weighted claims per
+    instance — the weight vector is sum_j gamma_ij beta_{x_ij}, still
+    multilinear, so the folding run is unchanged).  The level-0
+    commitments are the caller's: their roots must be absorbed into
+    `state` beforehand (the caller typically just committed them);
+    level-0 codewords/trees are recomputed here batched."""
     I, n = values.shape[0], values.shape[1]
-    beta = jnp.stack([poly.beta_table(xs[i]) for i in range(I)]) \
-        if xs.ndim == 3 else poly.beta_table(xs)
+    xs, gammas = _norm_points(xs, gammas, I)
+    beta = None
+    for j in range(xs.shape[1]):
+        bj = jnp.stack([poly.beta_table(xs[i, j]) for i in range(I)])
+        bj = F.fmul(gammas[:, j][:, None, :], bj)
+        beta = bj if beta is None else F.fadd(beta, bj)
     ys = F.fsum(F.fmul(values, beta), axis=1)
 
     coeffs = jnp.stack([poly.to_coefficient_form(values[i])
@@ -506,17 +526,24 @@ def _batch_coset_fold(cosets, chals, positions, domain_log: int):
 
 
 def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
-                 queries: int = QUERIES_PER_LEVEL):
+                 queries: int = QUERIES_PER_LEVEL, gammas=None):
     """Verify an I-instance batch; returns (ok, state).
 
     roots0_absorbed: [I, 8] level-0 roots (must already be bound into
-    `state` by the caller, mirroring prove_batch)."""
+    `state` by the caller, mirroring prove_batch).  With multi-claim
+    instances (xs [I, M, bits, 2], gammas [I, M, 2]) `ys` is [I, M, 2]
+    and the verified claim is the gamma-combination."""
     I, n = proof.final_polys.shape[0], proof.n
     ok = True
     state, subs = _fork(state, I)
-    claims = ys
+    xs, gammas = _norm_points(xs, gammas, I)
+    M = xs.shape[1]
+    ys = jnp.asarray(ys, dtype=jnp.uint64)
+    if ys.ndim == 2:
+        ys = ys[:, None]
+    claims = F.fsum(F.fmul(gammas, ys), axis=1)            # [I, 2]
     one = F.scalar(1)
-    eq_scalar = jnp.zeros((I, 2), dtype=jnp.uint64).at[:, 0].set(1)
+    eq_scalar = jnp.zeros((I, M, 2), dtype=jnp.uint64).at[:, :, 0].set(1)
     domain_log = int(np.log2(2 * n))
     cur_roots = roots0_absorbed
     cur_size = n
@@ -534,9 +561,10 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
             subs, r = _bsqueeze(subs)
             claims = F.fadd(F.fmul(F.fadd(F.fmul(c3[:, 0], r), c3[:, 1]),
                                    r), c3[:, 2])
-            xj = xs[:, done]
-            e = F.fadd(F.fmul(F.fsub(one[None, :], xj),
-                              F.fsub(one[None, :], r)), F.fmul(xj, r))
+            xj = xs[:, :, done]                            # [I, M, 2]
+            e = F.fadd(F.fmul(F.fsub(one[None, None], xj),
+                              F.fsub(one[None, None], r[:, None])),
+                       F.fmul(xj, r[:, None]))
             eq_scalar = F.fmul(eq_scalar, e)
             chals.append(r)
             done += 1
@@ -576,10 +604,12 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
 
     subs = _babsorb(subs, proof.final_polys)
     state = mimc.absorb(state, subs)
-    # final: claim_i == eq_i * <final values_i, beta(x_rest_i)>
+    # final: claim_i == sum_j gamma_ij eq_ij * <final values_i, beta(x_ij_rest)>
     finals = jnp.stack([poly.from_coefficient_form(proof.final_polys[i])
                         for i in range(I)])
-    b_rest = jnp.stack([poly.beta_table(xs[i, done:]) for i in range(I)])
-    total = F.fmul(eq_scalar, F.fsum(F.fmul(finals, b_rest), axis=1))
+    b_rest = jnp.stack([jnp.stack([poly.beta_table(xs[i, j, done:])
+                                   for j in range(M)]) for i in range(I)])
+    inner = F.fsum(F.fmul(finals[:, None], b_rest), axis=2)   # [I, M, 2]
+    total = F.fsum(F.fmul(gammas, F.fmul(eq_scalar, inner)), axis=1)
     ok = ok and bool(jnp.all(F.feq(total, claims)))
     return ok, state

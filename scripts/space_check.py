@@ -111,6 +111,13 @@ def main():
           f"{peak/2**20:.0f} MiB  (an O(N) trace/wpoly would hold >= "
           f"{n_bytes/2**20:.0f} MiB live; O(B) budget ~ "
           f"{budget/2**20:.0f} MiB)", flush=True)
+    # Tight bound: peak must stay within a small constant of the O(B)
+    # budget itself (2x slack for transient doubles inside fused kernels),
+    # not merely below the O(N) materialized bound — a 10x residency
+    # regression must FAIL here, not pass.
+    assert peak < 2 * budget, \
+        (f"peak live device memory {peak/2**20:.0f} MiB exceeds 2x the "
+         f"O(B) budget {budget/2**20:.0f} MiB")
     assert peak < n_bytes, \
         "peak live device memory exceeds the materialized-witness bound"
     print("space check: OK", flush=True)
