@@ -356,7 +356,7 @@ def verify(proof: StreamMulTreeProof, state, pc_rows: int = 4,
             opening = proof.layer_openings[oi]
             oke, state = elastic.verify(proof.layer_roots[oi], pt, opening,
                                         params, state)
-            ok = jnp.logical_and(ok, jnp.array(bool(oke)))
+            ok = jnp.logical_and(ok, jnp.asarray(oke))
             ok = jnp.logical_and(ok, F.feq(opening.eval_claim, cl))
 
     return ok, point, claim, state
@@ -620,7 +620,7 @@ def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16):
         opening = proof.boundary_openings[oi]
         oke, _, state = elastic.verify_multi_recursive(
             proof.boundary_roots[oi], pts, opening, params, state)
-        ok = jnp.logical_and(ok, jnp.array(bool(oke)))
+        ok = jnp.logical_and(ok, jnp.asarray(oke))
         ok = jnp.logical_and(ok, F.feq(opening.eval_claims[0], claims[b]))
         ok = jnp.logical_and(ok, F.feq(opening.eval_claims[1],
                                        proof.batched.claims0[b - 1]))

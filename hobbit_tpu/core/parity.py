@@ -137,7 +137,6 @@ def verify_claim(proof: ParityProof, pmat_root, claim, qrows, coeffs,
 
     ok, pt, cur, state = sc.verify_product_sumcheck(proof.p_sum, claim,
                                                     state, 2)
-    ok = bool(ok)
     ln = int(np.log2(n))
     xz, rz = pt[:ln], pt[ln:]
     # queries landing on zero-padded codeword rows (>= codeword_len)
@@ -146,14 +145,14 @@ def verify_claim(proof: ParityProof, pmat_root, claim, qrows, coeffs,
     coeffs_m = jnp.where(valid, coeffs, jnp.uint64(0))
     w_eval = F.fsum(F.fmul(coeffs_m, _bool_eq_batch(qrows, rz)), axis=0)
     want = F.fmul(w_eval, rec._eq_eval(ipt, xz))
-    ok = ok and bool(F.feq(proof.p_sum.final_evals[1], want))
+    ok = jnp.logical_and(ok, F.feq(proof.p_sum.final_evals[1], want))
 
     k = rec._sw_k(cw2 * n)
     oks, state = sw.verify(pmat_root, proof.open_pt, pt, k, cw2 * n, state,
                            queries=sw_queries)
-    ok = ok and bool(oks)
-    ok = ok and bool(F.feq(proof.open_pt.eval_claim,
-                           proof.p_sum.final_evals[0]))
+    ok = jnp.logical_and(ok, oks)
+    ok = jnp.logical_and(ok, F.feq(proof.open_pt.eval_claim,
+                                   proof.p_sum.final_evals[0]))
     return ok, state
 
 

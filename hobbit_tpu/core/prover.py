@@ -563,11 +563,11 @@ def _verify_multi(root, pts_list, opening, params, state,
         ok, extra_evals, state = elastic.verify_multi_recursive(
             root, pts_list, opening, params, state, extra_points=extra,
             sw_queries=config.shockwave_queries)
-        if not bool(ok):
-            return False, None, state
+        if extra_evals is None:          # structural reject (query mismatch)
+            return jnp.array(False), None, state
         ev = _LaneEvals(spec, opening, pts_list, lane_bits,
                         int(np.log2(params.B)), extra_evals)
-        return True, ev, state
+        return ok, ev, state
     ok, state = elastic.verify_multi(root, pts_list, opening, params, state)
     ev = _LaneEvals(spec, opening, pts_list, lane_bits,
                     int(np.log2(params.B)), None)
@@ -624,7 +624,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     recompute once or trust), the geometry, and the lookup tables.  The
     gate trace is NEVER re-executed."""
     g = geometry(program, config)
-    ok = True
+    ok = jnp.array(True)
     state = mimc.fresh_state()
     state = _absorb_root(state, circuit_root)
     state = _absorb_root(state, proof.witness_root)
@@ -640,34 +640,35 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     okw, p_w, c_w, state = mts.verify_batched(
         proof.wiring_proof, state, pc_rows=pc_rows or 4,
         pc_queries=config.resolved_pc_queries())
-    ok = ok and bool(okw)
+    ok = jnp.logical_and(ok, okw)
     out = proof.wiring_proof.output
-    ok = ok and bool(F.feq(F.fmul(out[0], out[3]), F.fmul(out[1], out[2])))
+    ok = jnp.logical_and(ok, F.feq(F.fmul(out[0], out[3]),
+                                   F.fmul(out[1], out[2])))
 
     p_l = c_l = None
     if proof.lookup_mode:
         okl, p_l, c_l, state = mts.verify_batched(
             proof.lookup_proof, state, pc_rows=pc_rows or 4,
             pc_queries=config.resolved_pc_queries())
-        ok = ok and bool(okl)
+        ok = jnp.logical_and(ok, okl)
         out = proof.lookup_proof.output
-        ok = ok and bool(F.feq(F.fmul(out[0], out[3]),
-                               F.fmul(out[1], out[2])))
+        ok = jnp.logical_and(ok, F.feq(F.fmul(out[0], out[3]),
+                                       F.fmul(out[1], out[2])))
 
     # ---- gate consistency ----------------------------------------------
     state, r_gc = mimc.squeeze(state, g.log_np2)
     if proof.lookup_mode:
         res, state = fs.verify(proof.gc_proof, g.B_gc, r_gc, state)
-        ok = ok and bool(res.ok)
+        ok = jnp.logical_and(ok, res.ok)
         S = res.group_sums
-        ok = ok and bool(F.feq(F.fadd(S[0], S[1]), S[2]))
-        ok = ok and bool(F.feq(S[3], S[4]))
-        ok = ok and bool(F.feq(S[5], S[6]))
-        ok = ok and bool(F.feq(S[7], S[8]))
+        ok = jnp.logical_and(ok, F.feq(F.fadd(S[0], S[1]), S[2]))
+        ok = jnp.logical_and(ok, F.feq(S[3], S[4]))
+        ok = jnp.logical_and(ok, F.feq(S[5], S[6]))
+        ok = jnp.logical_and(ok, F.feq(S[7], S[8]))
         gc_point, gc_evals = res.point, res.stream_evals
     else:
         res, state = gc.verify(proof.gc_proof, g.B_gc, r_gc, state)
-        ok = ok and bool(res.ok)
+        ok = jnp.logical_and(ok, res.ok)
         gc_point, gc_evals = res.point, res.stream_evals
 
     # ---- openings --------------------------------------------------------
@@ -678,15 +679,15 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     oko, wlane, state = _verify_multi(proof.witness_root, pts["w"],
                                       proof.w_open, w_params, state, config,
                                       spec=_W_LANE_SPEC, lane_bits=2)
-    ok = ok and bool(oko)
+    ok = jnp.logical_and(ok, oko)
     oko, _, state = _verify_multi(proof.final_root, pts["f"],
                                   proof.f_open, f_params, state, config)
-    ok = ok and bool(oko)
+    ok = jnp.logical_and(ok, oko)
     oko, clane, state = _verify_multi(circuit_root, pts["c"],
                                       proof.c_open, c_params, state, config,
                                       spec=_c_lane_spec(proof.lookup_mode),
                                       lane_bits=4)
-    ok = ok and bool(oko)
+    ok = jnp.logical_and(ok, oko)
     llane = None
     if proof.lookup_mode:
         l_params = _pc_params(4 * g.np2, config, pc_rows)
@@ -695,12 +696,13 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
                                           proof.l_open, l_params, state,
                                           config, spec=_L_LANE_SPEC,
                                           lane_bits=2)
-        ok = ok and bool(oko)
+        ok = jnp.logical_and(ok, oko)
         oko, _, state = _verify_multi(proof.counts_root, pts["t"],
                                       proof.t_open, t_params, state, config)
-        ok = ok and bool(oko)
-    if not ok:
-        return False, state
+        ok = jnp.logical_and(ok, oko)
+    if wlane is None or clane is None or (proof.lookup_mode and
+                                          llane is None):
+        return False, state          # structural reject (query mismatch)
 
     # ---- lane evaluations ------------------------------------------------
     # lane 0 of each opened point is that opening's eval claim; nonzero
@@ -710,18 +712,19 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
 
     # ---- gate-consistency stream binding --------------------------------
     L_gc, R_gc, O_gc = wlane(0, 0), wlane(0, 1), wlane(0, 2)
-    ok = ok and bool(F.feq(gc_evals["L"], L_gc))
-    ok = ok and bool(F.feq(gc_evals["R"], R_gc))
-    ok = ok and bool(F.feq(gc_evals["O"], O_gc))
-    ok = ok and bool(F.feq(gc_evals["sa"], clane(0, views.C_ADD)))
-    ok = ok and bool(F.feq(gc_evals["sm"], clane(0, views.C_MUL)))
+    ok = jnp.logical_and(ok, F.feq(gc_evals["L"], L_gc))
+    ok = jnp.logical_and(ok, F.feq(gc_evals["R"], R_gc))
+    ok = jnp.logical_and(ok, F.feq(gc_evals["O"], O_gc))
+    ok = jnp.logical_and(ok, F.feq(gc_evals["sa"], clane(0, views.C_ADD)))
+    ok = jnp.logical_and(ok, F.feq(gc_evals["sm"], clane(0, views.C_MUL)))
     if proof.lookup_mode:
-        ok = ok and bool(F.feq(gc_evals["M"],
-                               F.fsub(F.fadd(L_gc, R_gc), O_gc)))
-        ok = ok and bool(F.feq(gc_evals["slkp"], clane(0, views.C_LKP)))
-        ok = ok and bool(F.feq(gc_evals["Lm"], llane(0, views.L_LM)))
-        ok = ok and bool(F.feq(gc_evals["Rm"], llane(0, views.L_RM)))
-        ok = ok and bool(F.feq(gc_evals["Om"], llane(0, views.L_OM)))
+        ok = jnp.logical_and(ok, F.feq(gc_evals["M"],
+                                       F.fsub(F.fadd(L_gc, R_gc), O_gc)))
+        ok = jnp.logical_and(ok, F.feq(gc_evals["slkp"],
+                                       clane(0, views.C_LKP)))
+        ok = jnp.logical_and(ok, F.feq(gc_evals["Lm"], llane(0, views.L_LM)))
+        ok = jnp.logical_and(ok, F.feq(gc_evals["Rm"], llane(0, views.L_RM)))
+        ok = jnp.logical_and(ok, F.feq(gc_evals["Om"], llane(0, views.L_OM)))
 
     # ---- wiring level-0 claim derivation --------------------------------
     sigma_w = p_w[:2]
@@ -755,7 +758,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     v0_w = F.fadd(
         F.fadd(F.fmul(beta_v[0], reads_e), F.fmul(beta_v[1], writes_e)),
         F.fadd(F.fmul(beta_v[2], init_e), F.fmul(beta_v[3], fin_e)))
-    ok = ok and bool(F.feq(c_w, v0_w))
+    ok = jnp.logical_and(ok, F.feq(c_w, v0_w))
 
     # ---- lookup level-0 claim derivation --------------------------------
     if proof.lookup_mode:
@@ -796,9 +799,9 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         v0_l = F.fadd(
             F.fadd(F.fmul(beta_vl[0], lkread), F.fmul(beta_vl[1], lkwrite)),
             F.fadd(F.fmul(beta_vl[2], init_e), F.fmul(beta_vl[3], fin_e)))
-        ok = ok and bool(F.feq(c_l, v0_l))
+        ok = jnp.logical_and(ok, F.feq(c_l, v0_l))
 
-    return ok, state
+    return bool(ok), state
 
 
 __all__ = ["CircuitProof", "Geometry", "geometry", "commit_circuit",

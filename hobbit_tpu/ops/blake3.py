@@ -41,58 +41,71 @@ def _ror(x, k: int):
     return (x >> np.uint32(k)) | (x << np.uint32(32 - k))
 
 
-def _g(v, a, b, c, d, mx, my):
-    va = v[a] + v[b] + mx
-    vd = _ror(v[d] ^ va, 16)
-    vc = v[c] + vd
-    vb = _ror(v[b] ^ vc, 12)
-    va = va + vb + my
-    vd = _ror(vd ^ va, 8)
-    vc = vc + vd
-    vb = _ror(vb ^ vc, 7)
-    v[a], v[b], v[c], v[d] = va, vb, vc, vd
+# SCHED[r] = _PERM applied r times: per-round message word order
+_SCHED = np.zeros((7, 16), dtype=np.int32)
+_SCHED[0] = np.arange(16)
+for _r in range(1, 7):
+    _SCHED[_r] = _SCHED[_r - 1][_PERM]
 
 
-from ..utils.jitting import maybe_jit
+def _g_vec(r0, r1, r2, r3, mx, my):
+    """One vectorized G over 4 lanes (the last axis): the column and
+    diagonal steps are each FOUR independent G applications, so the state
+    lives as 4 rows of 4 lanes and every G mixes whole rows."""
+    r0 = r0 + r1 + mx
+    r3 = _ror(r3 ^ r0, 16)
+    r2 = r2 + r3
+    r1 = _ror(r1 ^ r2, 12)
+    r0 = r0 + r1 + my
+    r3 = _ror(r3 ^ r0, 8)
+    r2 = r2 + r3
+    r1 = _ror(r1 ^ r2, 7)
+    return r0, r1, r2, r3
 
 
-@maybe_jit
+@jax.jit
 def compress64(m):
     """One BLAKE3 compression of a 64-byte single-chunk message.
 
     m: [..., 16] uint32 message words (little-endian packing of 64 bytes).
     Returns [..., 8] uint32 digest words.
 
-    Jitted under HOBBIT_JIT (production/TPU): one dispatch per call, one
-    compile per batch shape shared by every caller.  Eager otherwise —
-    XLA:CPU takes MINUTES to compile the unrolled 7-round graph (the same
-    pathology that ruled out whole-tree Merkle jits), while eager
-    primitive dispatch is fast."""
+    Row-vectorized (state = 4 rows x 4 lanes; column/diagonal steps are
+    one G over the lane axis each) and scanned over the 7 rounds with a
+    precomputed message schedule — the graph is ~30 ops instead of the
+    unrolled ~700, so XLA:CPU compiles in seconds (the unrolled form took
+    minutes) and the executable is shared by every caller shape."""
     m = m.astype(u32)
     batch = m.shape[:-1]
     iv = jnp.asarray(IV)
 
-    def bc(x):
-        return jnp.broadcast_to(jnp.asarray(np.uint32(x)), batch)
+    r0 = jnp.broadcast_to(iv[0:4], batch + (4,))
+    r1 = jnp.broadcast_to(iv[4:8], batch + (4,))
+    r2 = jnp.broadcast_to(iv[0:4], batch + (4,))
+    r3 = jnp.broadcast_to(
+        jnp.asarray([0, 0, 64, FLAGS_64B], dtype=u32), batch + (4,))
 
-    v = [jnp.broadcast_to(iv[i], batch) for i in range(8)]
-    v += [jnp.broadcast_to(iv[i], batch) for i in range(4)]
-    v += [bc(0), bc(0), bc(64), bc(FLAGS_64B)]
+    # [7, ..., 16] per-round message words, schedule applied up front
+    msched = jnp.moveaxis(m[..., jnp.asarray(_SCHED)], -2, 0)
 
-    msg = [m[..., i] for i in range(16)]
-    for rnd in range(7):
-        _g(v, 0, 4, 8, 12, msg[0], msg[1])
-        _g(v, 1, 5, 9, 13, msg[2], msg[3])
-        _g(v, 2, 6, 10, 14, msg[4], msg[5])
-        _g(v, 3, 7, 11, 15, msg[6], msg[7])
-        _g(v, 0, 5, 10, 15, msg[8], msg[9])
-        _g(v, 1, 6, 11, 12, msg[10], msg[11])
-        _g(v, 2, 7, 8, 13, msg[12], msg[13])
-        _g(v, 3, 4, 9, 14, msg[14], msg[15])
-        if rnd != 6:
-            msg = [msg[_PERM[i]] for i in range(16)]
+    def round_fn(carry, mr):
+        r0, r1, r2, r3 = carry
+        # column step: G on (row0, row1, row2, row3) lanes
+        r0, r1, r2, r3 = _g_vec(r0, r1, r2, r3,
+                                mr[..., 0:8:2], mr[..., 1:8:2])
+        # diagonalize, diagonal step, un-diagonalize
+        r1 = jnp.roll(r1, -1, axis=-1)
+        r2 = jnp.roll(r2, -2, axis=-1)
+        r3 = jnp.roll(r3, -3, axis=-1)
+        r0, r1, r2, r3 = _g_vec(r0, r1, r2, r3,
+                                mr[..., 8:16:2], mr[..., 9:16:2])
+        r1 = jnp.roll(r1, 1, axis=-1)
+        r2 = jnp.roll(r2, 2, axis=-1)
+        r3 = jnp.roll(r3, 3, axis=-1)
+        return (r0, r1, r2, r3), None
 
-    return jnp.stack([v[i] ^ v[i + 8] for i in range(8)], axis=-1)
+    (r0, r1, r2, r3), _ = jax.lax.scan(round_fn, (r0, r1, r2, r3), msched)
+    return jnp.concatenate([r0 ^ r2, r1 ^ r3], axis=-1)
 
 
 def fields_to_words(f):

@@ -144,8 +144,12 @@ def open_leaves(tree: MerkleTree, indices):
     """Batch open: [q, depth, 8].  ALL levels gathered on device in one
     compiled call — only the [q, depth, 8] result ever crosses the link
     (pulling whole tree levels to the host costs O(tree) transfer, fatal
-    on remote-attached chips)."""
-    idx = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    on remote-attached chips).  `indices` may be a host sequence or a
+    device int array (stays on device)."""
+    if isinstance(indices, (list, tuple)):
+        idx = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    else:
+        idx = jnp.asarray(indices, dtype=jnp.int64)
     if not tree.levels[:-1]:
         return jnp.zeros((idx.shape[0], 0, 8), dtype=jnp.uint32)
     return _open_leaves_kernel(tuple(tree.levels[:-1]), idx)
@@ -165,15 +169,14 @@ def verify_leaf(root, leaf_digest, index: int, path,
     return bool(jnp.all(cur == root))
 
 
-def verify_leaves_batch(root, leaf_digests, indices, paths,
-                        backend: str = "blake3") -> bool:
-    """Batched membership check: digests [q, 8], paths [q, depth, 8].
-
-    One vectorized hash per level for the whole batch (the per-leaf
-    version costs q*depth tiny dispatches)."""
+def verify_leaves_device(root, leaf_digests, indices, paths,
+                         backend: str = "blake3"):
+    """Batched membership check returning a DEVICE boolean: digests
+    [q, 8], indices a device/host int array, paths [q, depth, 8].
+    Jit-composable (no host sync)."""
     _, pairs = _BACKENDS[backend]
     cur = leaf_digests
-    pos = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    pos = jnp.asarray(indices, dtype=jnp.int64)
     for d in range(paths.shape[1]):
         sib = paths[:, d]
         odd = (pos & 1).astype(bool)[:, None]
@@ -181,7 +184,19 @@ def verify_leaves_batch(root, leaf_digests, indices, paths,
         right = jnp.where(odd, cur, sib)
         cur = pairs(left, right)
         pos = pos // 2
-    return bool(jnp.all(cur == root[None, :]))
+    return jnp.all(cur == root[None, :])
+
+
+def verify_leaves_batch(root, leaf_digests, indices, paths,
+                        backend: str = "blake3") -> bool:
+    """Batched membership check: digests [q, 8], paths [q, depth, 8].
+
+    One vectorized hash per level for the whole batch (the per-leaf
+    version costs q*depth tiny dispatches)."""
+    if isinstance(indices, (list, tuple)):
+        indices = jnp.asarray([int(i) for i in indices], dtype=jnp.int64)
+    return bool(verify_leaves_device(root, leaf_digests, indices, paths,
+                                     backend=backend))
 
 
 # ---------------------------------------------------------------------------

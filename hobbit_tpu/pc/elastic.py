@@ -565,7 +565,7 @@ def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
     state, qrows, qcols = std.derive_queries(state, params)
     if tuple(qrows) != tuple(opening.rows_idx) or \
        tuple(qcols) != tuple(opening.cols_idx):
-        return False, None, state
+        return jnp.array(False), None, state
 
     # shared reply combination: comb_vals[p, q] = row-slot value of the
     # beta_p-combined chunks at query q
@@ -581,22 +581,22 @@ def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
         prev = blake3.hash_chained_leaf(opening.reply[:, i], prev)
     leaf_ids = [((r // 4) * (2 * params.cols) + c)
                 for r, c in zip(qrows, qcols)]
-    okm = merkle.verify_leaves_batch(root, prev, leaf_ids, opening.paths)
-    if not bool(okm):
-        return False, None, state
+    okm = merkle.verify_leaves_device(root, prev, leaf_ids, opening.paths)
 
     x_los = [points[p][:lb] for p in range(P)]
     if params.linear_time:
         spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
-        return rec.spielman_verify_multi(
+        okr, extra_evals, state = rec.spielman_verify_multi(
             opening.recursion, opening.cf_root, comb_vals,
             opening.eval_claims, x_los, extra_points, qrows, qcols,
             params.rows, params.B, spec.col_code, state,
             sw_queries=sw_queries)
-    return rec.rs_verify_multi(
-        opening.recursion, opening.cf_root, comb_vals, opening.eval_claims,
-        x_los, extra_points, qrows, qcols, params.rows, params.B, state,
-        sw_queries=sw_queries)
+    else:
+        okr, extra_evals, state = rec.rs_verify_multi(
+            opening.recursion, opening.cf_root, comb_vals,
+            opening.eval_claims, x_los, extra_points, qrows, qcols,
+            params.rows, params.B, state, sw_queries=sw_queries)
+    return jnp.logical_and(okm, okr), extra_evals, state
 
 
 def lane_eval(opening, pidx: int, lo_bits):

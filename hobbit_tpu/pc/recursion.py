@@ -436,7 +436,6 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     P2 = pad_points(P)
     cols = B // rows
     lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
-    ok = True
 
     state, gam = mimc.squeeze1(state)
     gammas = poly.powers(gam, P2)
@@ -446,9 +445,8 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
         F.fmul(gammas[:P, None, :], F.fmul(u[None], comb_vals)),
         axis=0), axis=0)
 
-    okm, pt, cur, state = sc.verify_product_sumcheck(proof.p_main, claim,
-                                                     state, 2)
-    ok = ok and bool(okm)
+    ok, pt, cur, state = sc.verify_product_sumcheck(proof.p_main, claim,
+                                                    state, 2)
     z, y, w = pt[:lcb], pt[lcb:lcb + lr], pt[lcb + lr:]
     wR = F.root_of_unity(int(np.log2(2 * rows)))
     wC = F.root_of_unity(int(np.log2(2 * cols)))
@@ -457,18 +455,18 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     wantW = F.fsum(F.fmul(u, F.fmul(_dft_mle_batch(baseR, y),
                                     _dft_mle_batch(baseC, z))), axis=0)
     gmle = poly.evaluate_vector(gammas, w)
-    ok = ok and bool(F.feq(proof.p_main.final_evals[1],
-                           F.fmul(gmle, wantW)))
+    ok = jnp.logical_and(ok, F.feq(proof.p_main.final_evals[1],
+                                   F.fmul(gmle, wantW)))
 
     sw_pts = _multi_sw_points(pt, x_los, extra_points, P2)
     k = _sw_k(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
-    ok = ok and bool(oks)
+    ok = jnp.logical_and(ok, oks)
     swc = proof.sw_multi.eval_claims
-    ok = ok and bool(F.feq(swc[0], proof.p_main.final_evals[0]))
-    for p in range(P):
-        ok = ok and bool(F.feq(swc[1 + p], eval_claims[p]))
+    ok = jnp.logical_and(ok, F.feq(swc[0], proof.p_main.final_evals[0]))
+    ok = jnp.logical_and(ok, jnp.all(F.feq(swc[1:1 + P],
+                                           eval_claims[:P])))
     return ok, swc[1 + P:], state
 
 
@@ -538,7 +536,6 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     cols = B // rows
     lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
     qpad = _pad_pow2_count(q)
-    ok = True
 
     state, gam = mimc.squeeze1(state)
     gammas = poly.powers(gam, P2)
@@ -548,9 +545,8 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
         F.fmul(gammas[:P, None, :], F.fmul(u[None, :q], comb_vals)),
         axis=0), axis=0)
 
-    okc, point, cur, state = sc.verify_product_sumcheck(
+    ok, point, cur, state = sc.verify_product_sumcheck(
         proof.p_code.inner, claim, state, 2)
-    ok = ok and bool(okc)
     ipt, qpt = point[:lr], point[lr:]
     eq_q = poly.beta_table(qpt)
     if proof.p_parity is not None:
@@ -560,16 +556,17 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
             proof.p_parity, pd.root, proof.p_code.inner.final_evals[1],
             qrows, coeffs, code.codeword_len, pd.cw2, pd.n, ipt, state,
             sw_queries=sw_queries)
-        ok = ok and bool(okp)
+        ok = jnp.logical_and(ok, okp)
     else:
         want = F.fsum(F.fmul(F.fmul(u[:q], eq_q[:q]),
                              _phi_onehot_evals(code, qrows, rows, ipt)),
                       axis=0)
-        ok = ok and bool(F.feq(proof.p_code.inner.final_evals[1], want))
+        ok = jnp.logical_and(ok, F.feq(proof.p_code.inner.final_evals[1],
+                                       want))
 
     okt, pt2, cur2, state = sc.verify_product_sumcheck(
         proof.p_main, proof.p_code.inner.final_evals[0], state, 2)
-    ok = ok and bool(okt)
+    ok = jnp.logical_and(ok, okt)
     z2 = pt2[:lcb]
     y2 = pt2[lcb:lcb + lr]
     w2 = pt2[lcb + lr:]
@@ -578,18 +575,18 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     colfac_e = F.fsum(F.fmul(eq_q[:q], _dft_mle_batch(baseC, z2)), axis=0)
     eq_i_e = _eq_eval(ipt, y2)
     gmle = poly.evaluate_vector(gammas, w2)
-    ok = ok and bool(F.feq(proof.p_main.final_evals[1],
-                           F.fmul(gmle, F.fmul(eq_i_e, colfac_e))))
+    ok = jnp.logical_and(ok, F.feq(proof.p_main.final_evals[1],
+                                   F.fmul(gmle, F.fmul(eq_i_e, colfac_e))))
 
     sw_pts = _multi_sw_points(pt2, x_los, extra_points, P2)
     k = _sw_k(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
-    ok = ok and bool(oks)
+    ok = jnp.logical_and(ok, oks)
     swc = proof.sw_multi.eval_claims
-    ok = ok and bool(F.feq(swc[0], proof.p_main.final_evals[0]))
-    for p in range(P):
-        ok = ok and bool(F.feq(swc[1 + p], eval_claims[p]))
+    ok = jnp.logical_and(ok, F.feq(swc[0], proof.p_main.final_evals[0]))
+    ok = jnp.logical_and(ok, jnp.all(F.feq(swc[1:1 + P],
+                                           eval_claims[:P])))
     return ok, swc[1 + P:], state
 
 

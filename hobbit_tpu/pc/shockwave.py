@@ -31,6 +31,7 @@ from ..ops import field as F
 from ..ops import merkle, mimc, poly
 from ..core import fft_sumcheck as fsc
 from ..core import sumcheck as sc
+from ..utils.jitting import maybe_jit
 
 QUERIES = 240  # Virgo.cpp:438
 
@@ -97,24 +98,38 @@ def commit(message, k: int = 32) -> ShockwaveData:
 
 
 def open(data: ShockwaveData, x, state, queries: int = QUERIES):
-    """Open f at x ([log2 N, 2]); returns (ShockwaveOpening, state)."""
-    k, N = data.k, data.N
+    """Open f at x ([log2 N, 2]); returns (ShockwaveOpening, state).
+
+    The whole opening (aggregation, query expansion, path gathers,
+    indicator + FFT sumchecks, inner WHIR folding) is ONE compiled
+    program per shape; nothing crosses the device link mid-proof."""
+    return _open_impl(data.matrix, data.encoded, tuple(data.outer.levels),
+                      jnp.asarray(x, dtype=jnp.uint64), state, queries,
+                      data.k, data.N)
+
+
+@maybe_jit(static_argnums=(5, 6, 7))
+def _open_impl(matrix, encoded, olevels, x, state, queries: int, k: int,
+               N: int):
     cols = N // k
-    lk, lc = int(np.log2(k)), int(np.log2(cols))
+    lc = int(np.log2(cols))
     x_lo, x_hi = x[:lc], x[lc:]
     beta_rows = poly.beta_table(x_hi)              # [k, 2]
 
-    aggr = F.fsum(F.fmul(beta_rows[:, None, :], data.matrix), axis=0)
-    aggr_tensor = F.fsum(F.fmul(beta_rows[:, None, :], data.encoded), axis=0)
+    aggr = F.fsum(F.fmul(beta_rows[:, None, :], matrix), axis=0)
+    aggr_tensor = F.fsum(F.fmul(beta_rows[:, None, :], encoded), axis=0)
     eval_claim = poly.evaluate_vector(aggr, x_lo)
     state = mimc.absorb(state, eval_claim)
 
     state, qs = mimc.expand(state, queries)
-    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
+    idx = (qs[:, 0] % (2 * cols)).astype(jnp.int64)
 
-    cols_vals = jnp.moveaxis(data.encoded, 0, 1)   # [2c, k, 2]
-    reply = cols_vals[jnp.asarray(idx, dtype=jnp.int32)]   # [q, k, 2]
-    paths = merkle.open_leaves(data.outer, idx)
+    cols_vals = jnp.moveaxis(encoded, 0, 1)        # [2c, k, 2]
+    reply = cols_vals[idx]                         # [q, k, 2]
+    if len(olevels) > 1:
+        paths = merkle._open_leaves_kernel(tuple(olevels[:-1]), idx)
+    else:
+        paths = jnp.zeros((queries, 0, 8), dtype=jnp.uint32)
 
     # query-weighted indicator: indicator[c] = sum of s^i over queries i
     # hitting column c (reference aggregates queried codewords with random
@@ -139,11 +154,12 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
         state = mimc.absorb(state, root.astype(jnp.uint64).reshape(4, 2))
         fpoint = p2.inner.challenges
         state, gam = mimc.squeeze1(state)
-        xs2 = jnp.stack([jnp.asarray(x_lo, dtype=jnp.uint64),
-                         fpoint[:lc]])[None]            # [1, 2, lc, 2]
+        xs2 = jnp.stack([x_lo, fpoint[:lc]])[None]      # [1, 2, lc, 2]
         gammas = jnp.stack([F.scalar(1), gam])[None]    # [1, 2, 2]
-        wb, _, state = whir.prove_batch(aggr[None], xs2, state,
-                                        gammas=gammas)
+        sc_stack, wlevels, final, _, state = whir._prove_batch_impl(
+            aggr[None], xs2, gammas, state, whir.QUERIES_PER_LEVEL)
+        wb = whir.WhirBatchProof(sumcheck_polys=sc_stack, levels=wlevels,
+                                 final_polys=final, n=cols)
         return ShockwaveOpening(
             eval_claim=eval_claim, aggr=None, queries=idx, reply=reply,
             paths=paths, p1=p1, p2=p2, whir_root=root,
@@ -193,19 +209,28 @@ def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
     """Open f at every point in `points` (list of [log2 N, 2]).
 
     One delta-batched merge sumcheck + one inner single-point open; the
-    caller must have absorbed the commitment root before calling."""
-    k, N = data.k, data.N
+    caller must have absorbed the commitment root before calling.  The
+    full multi-open (merge + inner open) is one compiled program."""
+    pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64) for x in points])
+    return _open_multi_impl(data.matrix, data.encoded,
+                            tuple(data.outer.levels), pts, state, queries,
+                            data.k, data.N)
+
+
+@maybe_jit(static_argnums=(5, 6, 7))
+def _open_multi_impl(matrix, encoded, olevels, pts, state, queries: int,
+                     k: int, N: int):
     cols = N // k
     lc = int(np.log2(cols))
-    P = len(points)
+    P = pts.shape[0]
     claims = []
     blos, bhis = [], []
-    for x in points:
-        x_lo, x_hi = x[:lc], x[lc:]
+    for j in range(P):
+        x_lo, x_hi = pts[j, :lc], pts[j, lc:]
         blo, bhi = poly.beta_table(x_lo), poly.beta_table(x_hi)
         blos.append(blo)
         bhis.append(bhi)
-        aggr = F.fsum(F.fmul(bhi[:, None, :], data.matrix), axis=0)
+        aggr = F.fsum(F.fmul(bhi[:, None, :], matrix), axis=0)
         claims.append(F.fsum(F.fmul(aggr, blo), axis=0))
     eval_claims = jnp.stack(claims)
     state = mimc.absorb(state, eval_claims)
@@ -217,19 +242,29 @@ def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
         wj = F.fmul(F.fmul(deltas[j], bhis[j])[:, None, :],
                     blos[j][None, :, :])                   # [k, cols, 2]
         W = wj if W is None else F.fadd(W, wj)
-    p0, state = sc.prove_2product(data.matrix.reshape(N, 2),
+    p0, state = sc.prove_2product(matrix.reshape(N, 2),
                                   W.reshape(N, 2), state)
-    inner, state = open(data, p0.challenges, state, queries=queries)
+    inner, state = _open_impl(matrix, encoded, olevels, p0.challenges,
+                              state, queries, k, N)
     return ShockwaveMultiOpening(eval_claims=eval_claims, p0=p0,
                                  inner=inner), state
 
 
 def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
                  k: int, N: int, state, queries: int = QUERIES):
-    """Returns (ok, state)."""
+    """Returns (ok, state) with ok a device boolean."""
     P = len(points)
     if opening.eval_claims.shape[0] != P:
-        return False, state
+        return jnp.array(False), state
+    pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64) for x in points])
+    return _verify_multi_impl(jnp.asarray(data_root), opening, pts, state,
+                              queries, k, N)
+
+
+@maybe_jit(static_argnums=(4, 5, 6))
+def _verify_multi_impl(data_root, opening, pts, state, queries: int,
+                       k: int, N: int):
+    P = pts.shape[0]
     state = mimc.absorb(state, opening.eval_claims)
 
     state, d = mimc.squeeze1(state)
@@ -237,58 +272,65 @@ def verify_multi(data_root, opening: ShockwaveMultiOpening, points,
     claim = F.fsum(F.fmul(deltas, opening.eval_claims), axis=0)
     okp, rho, cur, state = sc.verify_product_sumcheck(opening.p0, claim,
                                                       state, 2)
-    ok = bool(okp)
-    want_w = F.fsum(F.fmul(deltas, _eq_evals(points, rho)), axis=0)
-    ok = ok and bool(F.feq(opening.p0.final_evals[1], want_w))
-    ok = ok and bool(F.feq(opening.p0.final_evals[0],
-                           opening.inner.eval_claim))
-    if not ok:
-        return False, state
-    oki, state = verify(data_root, opening.inner, rho, k, N, state,
-                        queries=queries)
-    return ok and bool(oki), state
+    ok = okp
+    want_w = F.fsum(F.fmul(deltas, _eq_evals(pts, rho)), axis=0)
+    ok = jnp.logical_and(ok, F.feq(opening.p0.final_evals[1], want_w))
+    ok = jnp.logical_and(ok, F.feq(opening.p0.final_evals[0],
+                                   opening.inner.eval_claim))
+    oki, state = _verify_impl(data_root, opening.inner, rho, state,
+                              queries, k, N)
+    return jnp.logical_and(ok, oki), state
 
 
 def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
            queries: int = QUERIES):
-    """Returns (ok, state)."""
+    """Returns (ok, state) with ok a device boolean."""
+    if isinstance(opening.queries, tuple):
+        opening = opening._replace(
+            queries=jnp.asarray(opening.queries, dtype=jnp.int64))
+    return _verify_impl(jnp.asarray(data_root), opening,
+                        jnp.asarray(x, dtype=jnp.uint64), state, queries,
+                        k, N)
+
+
+@maybe_jit(static_argnums=(4, 5, 6))
+def _verify_impl(data_root, opening, x, state, queries: int, k: int,
+                 N: int):
     cols = N // k
     lc = int(np.log2(cols))
     x_lo, x_hi = x[:lc], x[lc:]
     beta_rows = poly.beta_table(x_hi)
-    ok = True
+    ok = jnp.array(True)
 
     state = mimc.absorb(state, opening.eval_claim)
     state, qs = mimc.expand(state, queries)
-    idx = tuple(int(v) % (2 * cols) for v in np.asarray(qs)[:, 0])
-    if idx != tuple(opening.queries):
-        return False, state
+    idx = (qs[:, 0] % (2 * cols)).astype(jnp.int64)
+    ok = jnp.logical_and(ok, jnp.all(
+        idx == jnp.asarray(opening.queries, dtype=jnp.int64)))
 
     # column membership: recompute mini roots from replies + outer paths
     col_roots = _column_roots(jnp.moveaxis(opening.reply, 1, 0))
-    for qi, col in enumerate(idx):
-        if not merkle.verify_leaf(data_root, col_roots[qi], col,
-                                  opening.paths[qi]):
-            return False, state
+    ok = jnp.logical_and(ok, merkle.verify_leaves_device(
+        data_root, col_roots, idx, opening.paths))
 
     # query-weighted indicator-sumcheck claim: sum_i s^i * comb_i over ALL
     # queries (the s^i weights stop cross-column error cancellation)
     comb = F.fsum(F.fmul(beta_rows[None, :, :], opening.reply), axis=1)
     state, s = mimc.squeeze1(state)
-    spow = poly.powers(s, len(idx))
+    spow = poly.powers(s, queries)
     claim = F.fsum(F.fmul(spow, comb), axis=0)
     okp, point, cur, state = sc.verify_product_sumcheck(opening.p1, claim,
-                                                       state, 2)
-    ok = ok and bool(okp)
+                                                        state, 2)
+    ok = jnp.logical_and(ok, okp)
     # indicator final eval check (verifier recomputes its MLE)
     indicator = _weighted_indicator(idx, s, 2 * cols)
     want_ind = poly.evaluate_vector(indicator, point)
-    ok = ok and bool(F.feq(opening.p1.final_evals[1], want_ind))
+    ok = jnp.logical_and(ok, F.feq(opening.p1.final_evals[1], want_ind))
 
     # FFT relation: codeword eval at `point` -> message eval
     okf, fpoint, msg_eval, state = fsc.verify_fft(
         opening.p2, point, opening.p1.final_evals[0], state)
-    ok = ok and bool(okf)
+    ok = jnp.logical_and(ok, okf)
 
     lc_bits = int(np.log2(cols))
     if opening.whir_root is not None:
@@ -302,28 +344,29 @@ def verify(data_root, opening: ShockwaveOpening, x, k: int, N: int, state,
         state, gam = mimc.squeeze1(state)
         one = F.scalar(1)
         y_f = F.fmul(msg_eval, F.finv(F.fsub(one, fpoint[lc_bits])))
-        xs2 = jnp.stack([jnp.asarray(x_lo, dtype=jnp.uint64),
-                         fpoint[:lc_bits]])[None]
+        xs2 = jnp.stack([x_lo, fpoint[:lc_bits]])[None]
         ys2 = jnp.stack([opening.eval_claim, y_f])[None]
         gammas = jnp.stack([F.scalar(1), gam])[None]
-        okw, state = whir.verify_batch(opening.whir_root[None],
-                                       opening.wp_x, xs2, ys2, state,
-                                       gammas=gammas)
-        ok = ok and bool(okw)
+        okw, state = whir._verify_batch_impl(
+            opening.whir_root[None], opening.wp_x.sumcheck_polys,
+            opening.wp_x.levels, opening.wp_x.final_polys, xs2, gammas,
+            ys2, state, whir.QUERIES_PER_LEVEL, cols)
+        ok = jnp.logical_and(ok, okw)
         return ok, state
 
     # naive-mode: aggregate transmitted; check both evaluation bindings
     state = mimc.absorb(state, opening.aggr)
-    ok = ok and bool(F.feq(poly.evaluate_vector(opening.aggr, x_lo),
-                           opening.eval_claim))
+    ok = jnp.logical_and(ok,
+                         F.feq(poly.evaluate_vector(opening.aggr, x_lo),
+                               opening.eval_claim))
     padded = jnp.concatenate(
         [opening.aggr,
          jnp.zeros((2 * cols - opening.aggr.shape[0], 2), jnp.uint64)])
-    ok = ok and bool(F.feq(poly.evaluate_vector(padded, fpoint), msg_eval))
+    ok = jnp.logical_and(ok, F.feq(poly.evaluate_vector(padded, fpoint),
+                                   msg_eval))
     # consistency of transmitted aggregate with the queried columns
     enc_aggr = enc.rs_encode(opening.aggr[None])[0]
-    for qi, col in enumerate(idx):
-        ok = ok and bool(F.feq(comb[qi], enc_aggr[col]))
+    ok = jnp.logical_and(ok, jnp.all(F.feq(comb, enc_aggr[idx])))
     return ok, state
 
 

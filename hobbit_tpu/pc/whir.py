@@ -39,6 +39,7 @@ from ..ops import blake3
 from ..ops import field as F
 from ..ops import fft as fftm
 from ..ops import merkle, mimc, poly
+from ..utils.jitting import maybe_jit
 
 K_FOLD = 4                      # variables folded per iteration
 FINAL_SIZE = 1 << 6             # transmit the poly below this many coeffs
@@ -420,9 +421,22 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL,
     multilinear, so the folding run is unchanged).  The level-0
     commitments are the caller's: their roots must be absorbed into
     `state` beforehand (the caller typically just committed them);
-    level-0 codewords/trees are recomputed here batched."""
+    level-0 codewords/trees are recomputed here batched.
+
+    The entire folding run (encodes, tree builds, transcript, query
+    gathers) is ONE compiled program per shape — on the remote-attached
+    device the eager version paid a dispatch round trip per op."""
     I, n = values.shape[0], values.shape[1]
     xs, gammas = _norm_points(xs, gammas, I)
+    sc_stack, levels, final, ys, state = _prove_batch_impl(
+        values, xs, gammas, state, queries)
+    return WhirBatchProof(sumcheck_polys=sc_stack, levels=levels,
+                          final_polys=final, n=n), ys, state
+
+
+@maybe_jit(static_argnums=(4,))
+def _prove_batch_impl(values, xs, gammas, state, queries: int):
+    I, n = values.shape[0], values.shape[1]
     beta = None
     for j in range(xs.shape[1]):
         bj = jnp.stack([poly.beta_table(xs[i, j]) for i in range(I)])
@@ -494,8 +508,7 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL,
     state = mimc.absorb(state, subs)                 # rejoin the branches
     sc_stack = (jnp.stack(sc_polys, axis=1) if sc_polys
                 else jnp.zeros((I, 0, 3, 2), dtype=jnp.uint64))
-    return WhirBatchProof(sumcheck_polys=sc_stack, levels=tuple(levels),
-                          final_polys=coeffs, n=n), ys, state
+    return sc_stack, tuple(levels), coeffs, ys, state
 
 
 def _batch_coset_fold(cosets, chals, positions, domain_log: int):
@@ -527,36 +540,46 @@ def _batch_coset_fold(cosets, chals, positions, domain_log: int):
 
 def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
                  queries: int = QUERIES_PER_LEVEL, gammas=None):
-    """Verify an I-instance batch; returns (ok, state).
+    """Verify an I-instance batch; returns (ok, state) with ok a DEVICE
+    boolean (force it once, at the caller's final aggregation point).
 
     roots0_absorbed: [I, 8] level-0 roots (must already be bound into
     `state` by the caller, mirroring prove_batch).  With multi-claim
     instances (xs [I, M, bits, 2], gammas [I, M, 2]) `ys` is [I, M, 2]
     and the verified claim is the gamma-combination."""
-    I, n = proof.final_polys.shape[0], proof.n
-    ok = True
-    state, subs = _fork(state, I)
+    I = proof.final_polys.shape[0]
     xs, gammas = _norm_points(xs, gammas, I)
-    M = xs.shape[1]
     ys = jnp.asarray(ys, dtype=jnp.uint64)
     if ys.ndim == 2:
         ys = ys[:, None]
+    return _verify_batch_impl(roots0_absorbed, proof.sumcheck_polys,
+                              proof.levels, proof.final_polys, xs, gammas,
+                              ys, state, queries, proof.n)
+
+
+@maybe_jit(static_argnums=(8, 9))
+def _verify_batch_impl(roots0, sc_polys, levels, final_polys, xs, gammas,
+                       ys, state, queries: int, n: int):
+    I = final_polys.shape[0]
+    M = xs.shape[1]
+    ok = jnp.array(True)
+    state, subs = _fork(state, I)
     claims = F.fsum(F.fmul(gammas, ys), axis=1)            # [I, 2]
     one = F.scalar(1)
     eq_scalar = jnp.zeros((I, M, 2), dtype=jnp.uint64).at[:, :, 0].set(1)
     domain_log = int(np.log2(2 * n))
-    cur_roots = roots0_absorbed
+    cur_roots = roots0
     cur_size = n
     ri = 0
     done = 0
 
-    for lvl in proof.levels:
+    for lvl in levels:
         chals = []
         for _ in range(K_FOLD):
-            c3 = proof.sumcheck_polys[:, ri]               # [I, 3, 2]
+            c3 = sc_polys[:, ri]                           # [I, 3, 2]
             s0 = c3[:, 2]
             s1 = F.fadd(F.fadd(c3[:, 0], c3[:, 1]), c3[:, 2])
-            ok = ok and bool(jnp.all(F.feq(F.fadd(s0, s1), claims)))
+            ok = jnp.logical_and(ok, jnp.all(F.feq(F.fadd(s0, s1), claims)))
             subs = _babsorb(subs, c3)
             subs, r = _bsqueeze(subs)
             claims = F.fadd(F.fmul(F.fadd(F.fmul(c3[:, 0], r), c3[:, 1]),
@@ -574,8 +597,8 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
         subs, qs = _bexpand(subs, queries)
         next_m = (cur_size // (1 << K_FOLD)) * 2
         positions = (qs[:, :, 0] % next_m).astype(jnp.int64)
-        ok = ok and bool(jnp.all(positions == jnp.asarray(
-            lvl.queries, dtype=jnp.int64)))
+        ok = jnp.logical_and(ok, jnp.all(
+            positions == lvl.queries.astype(jnp.int64)))
         q = queries
 
         coset_leaves = blake3.hash_field_leaves(
@@ -583,7 +606,7 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
         leaf_idx = (positions[:, :, None] * 4
                     + jnp.arange(4, dtype=jnp.int64)[None, None, :]) \
             .reshape(I, -1)
-        ok = ok and bool(merkle.batch_verify_leaves(
+        ok = jnp.logical_and(ok, merkle.batch_verify_leaves(
             cur_roots, coset_leaves, leaf_idx, lvl.coset_paths))
 
         folded = _batch_coset_fold(lvl.cosets, chals, positions,
@@ -592,24 +615,24 @@ def verify_batch(roots0_absorbed, proof: WhirBatchProof, xs, ys, state,
         picked = jnp.take_along_axis(
             lvl.next_leaves, (ii % 4)[:, :, None, None],
             axis=2)[:, :, 0]
-        ok = ok and bool(jnp.all(F.feq(folded, picked)))
+        ok = jnp.logical_and(ok, jnp.all(F.feq(folded, picked)))
         nl_digests = blake3.hash_field_leaves(
             lvl.next_leaves.reshape(I * q, 4, 2)).reshape(I, q, 8)
-        ok = ok and bool(merkle.batch_verify_leaves(
+        ok = jnp.logical_and(ok, merkle.batch_verify_leaves(
             lvl.roots, nl_digests, ii // 4, lvl.next_paths))
 
         cur_roots = lvl.roots
         cur_size //= 1 << K_FOLD
         domain_log = int(np.log2(next_m))
 
-    subs = _babsorb(subs, proof.final_polys)
+    subs = _babsorb(subs, final_polys)
     state = mimc.absorb(state, subs)
     # final: claim_i == sum_j gamma_ij eq_ij * <final values_i, beta(x_ij_rest)>
-    finals = jnp.stack([poly.from_coefficient_form(proof.final_polys[i])
+    finals = jnp.stack([poly.from_coefficient_form(final_polys[i])
                         for i in range(I)])
     b_rest = jnp.stack([jnp.stack([poly.beta_table(xs[i, j, done:])
                                    for j in range(M)]) for i in range(I)])
     inner = F.fsum(F.fmul(finals[:, None], b_rest), axis=2)   # [I, M, 2]
     total = F.fsum(F.fmul(gammas, F.fmul(eq_scalar, inner)), axis=1)
-    ok = ok and bool(jnp.all(F.feq(total, claims)))
+    ok = jnp.logical_and(ok, jnp.all(F.feq(total, claims)))
     return ok, state
