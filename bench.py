@@ -79,10 +79,25 @@ def _watchdog():
         os._exit(0)
 
 
+_SEED = [0]
+
+
 def _rand_field(rng, *shape):
-    re = rng.integers(0, F.P, size=shape, dtype=np.uint64)
-    im = rng.integers(0, F.P, size=shape, dtype=np.uint64)
-    return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
+    # generated ON DEVICE: uploading 100+MB of host randomness through the
+    # remote-attach tunnel dominated micro-bench wall clock otherwise
+    _SEED[0] += 1
+    key = jax.random.key(_SEED[0])
+
+    @jax.jit
+    def gen(key):
+        bits = jax.random.bits(key, shape=tuple(shape) + (2,),
+                               dtype=jnp.uint32).astype(jnp.uint64)
+        hi = jax.random.bits(jax.random.split(key)[0],
+                             shape=tuple(shape) + (2,),
+                             dtype=jnp.uint32).astype(jnp.uint64)
+        return ((hi << 32) | bits) % F.P
+
+    return gen(key)
 
 
 def _timeit(step, init_s, reps):
@@ -265,28 +280,39 @@ def main():
                      "compiles"),
         "device": str(jax.devices()[0]),
     }
-    mult_rate = bench_field_mult(rng)
-    _PAYLOAD[0] = _payload(mult_rate, extra)
-    extra["merkle_hashes_per_sec"] = bench_merkle_hashes(rng)
-    _PAYLOAD[0] = _payload(mult_rate, extra)
-    extra["fold_phase_gates_per_sec"] = bench_fold_phase(rng)
-    _PAYLOAD[0] = _payload(mult_rate, extra)
-    extra["tensor_encode_coeffs_per_sec"] = bench_tensor_encode(rng)
-    _PAYLOAD[0] = _payload(mult_rate, extra)
-    extra["spielman_encode_coeffs_per_sec"] = bench_spielman_encode(rng)
+    def _tick(name):
+        print(f"[bench {_elapsed():7.1f}s] {name}", file=sys.stderr,
+              flush=True)
 
-    # micro results are on the record before the (expensive) e2e starts
+    _tick("field_mult")
+    mult_rate = bench_field_mult(rng)
+    # headline + first parsed line on the record as early as possible
     _emit(_payload(mult_rate, extra))
 
+    # the e2e proof is the round's key deliverable — run it BEFORE the
+    # remaining micros so a tight driver budget still captures it
     if (os.environ.get("HOBBIT_BENCH_E2E", "1") != "0"
             and _remaining() > float(os.environ.get(
                 "HOBBIT_BENCH_E2E_MIN", "120"))):
+        _tick("e2e")
         warm, cold, ps, vt = bench_e2e_sql()
         extra["sql_fun6_n17_prover_sec"] = warm
         extra["sql_fun6_n17_cold_sec"] = cold
         extra["sql_fun6_n17_proof_kb"] = ps
         extra["sql_fun6_n17_verifier_sec"] = vt
         _emit(_payload(mult_rate, extra))
+
+    for key, fn in (
+            ("merkle_hashes_per_sec", bench_merkle_hashes),
+            ("fold_phase_gates_per_sec", bench_fold_phase),
+            ("tensor_encode_coeffs_per_sec", bench_tensor_encode),
+            ("spielman_encode_coeffs_per_sec", bench_spielman_encode)):
+        if _remaining() < 30:
+            break
+        _tick(key)
+        extra[key] = fn(rng)
+        _PAYLOAD[0] = _payload(mult_rate, extra)
+    _emit(_payload(mult_rate, extra))
 
     _DONE.set()
 
