@@ -52,6 +52,7 @@ class ElasticOpening(NamedTuple):
     cols_idx: Tuple[int, ...]
     reply: jnp.ndarray                 # [q, K, 4, 2]
     paths: jnp.ndarray
+    leaf_ids: Tuple[int, ...] = ()     # Merkle leaf indices (Ps dedup)
 
 
 def _chunk_slices(full, B: int):
@@ -252,6 +253,7 @@ def open_stream(chunk_fn: Callable[[int], jnp.ndarray],
     return ElasticOpening(
         eval_claim=eval_claim, aggr=aggr,
         rows_idx=qrows, cols_idx=qcols, reply=reply, paths=paths,
+        leaf_ids=tuple(leaf_ids),
     ), state
 
 
@@ -306,6 +308,7 @@ class ElasticRecursiveOpening(NamedTuple):
     reply: jnp.ndarray                 # [q, K, 4, 2]
     paths: jnp.ndarray
     recursion: tuple
+    leaf_ids: Tuple[int, ...] = ()
 
 
 def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
@@ -353,6 +356,7 @@ def open_stream_recursive(chunk_fn: Callable[[int], jnp.ndarray],
     return ElasticRecursiveOpening(
         eval_claim=eval_claim, cf_root=cf.outer.root, rows_idx=qrows,
         cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+        leaf_ids=tuple(leaf_ids),
     ), state
 
 
@@ -414,6 +418,7 @@ class ElasticMultiOpening(NamedTuple):
     cols_idx: Tuple[int, ...]
     reply: jnp.ndarray                 # [q, K, 4, 2]
     paths: jnp.ndarray
+    leaf_ids: Tuple[int, ...] = ()
 
 
 def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
@@ -459,6 +464,7 @@ def open_stream_multi(chunk_fn: Callable[[int], jnp.ndarray],
     return ElasticMultiOpening(
         eval_claims=eval_claims, aggrs=aggrs,
         rows_idx=qrows, cols_idx=qcols, reply=reply, paths=paths,
+        leaf_ids=tuple(leaf_ids),
     ), state
 
 
@@ -479,6 +485,7 @@ class ElasticMultiRecOpening(NamedTuple):
     reply: jnp.ndarray                 # [q, K, 4, 2]
     paths: jnp.ndarray
     recursion: object                  # rec.MultiRecursionProof
+    leaf_ids: Tuple[int, ...] = ()
 
     @property
     def extra_evals(self):
@@ -543,6 +550,7 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
     return ElasticMultiRecOpening(
         eval_claims=eval_claims, cf_root=cf.outer.root, rows_idx=qrows,
         cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+        leaf_ids=tuple(leaf_ids),
     ), state
 
 

@@ -74,6 +74,7 @@ class TensorOpening(NamedTuple):
     cols_idx: Tuple[int, ...]   # query cols (in [0, 2c))
     reply: jnp.ndarray          # [q, K, 4, 2] 4-row groups per chunk
     paths: jnp.ndarray          # [q, depth, 8] Merkle paths
+    leaf_ids: Tuple[int, ...] = ()   # Merkle leaf indices (Ps dedup)
 
 
 def _leaf_groups(tensor_k):
@@ -153,7 +154,7 @@ def open(message, commitment: TensorCommitment, x, params: TensorPCParams,
 
     return TensorOpening(
         eval_claim=eval_claim, aggr=aggr, rows_idx=qrows, cols_idx=qcols,
-        reply=reply, paths=paths,
+        reply=reply, paths=paths, leaf_ids=tuple(leaf_ids),
     ), state
 
 
@@ -225,6 +226,7 @@ class RecursiveOpening(NamedTuple):
     reply: jnp.ndarray          # [q, K, 4, 2]
     paths: jnp.ndarray
     recursion: tuple            # RSRecursionProof | SpielmanRecursionProof
+    leaf_ids: Tuple[int, ...] = ()
 
 
 def open_recursive(message, commitment: TensorCommitment, x,
@@ -263,6 +265,7 @@ def open_recursive(message, commitment: TensorCommitment, x,
     return RecursiveOpening(
         eval_claim=eval_claim, cf_root=cf.outer.root, rows_idx=qrows,
         cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+        leaf_ids=tuple(leaf_ids),
     ), state
 
 

@@ -58,22 +58,90 @@ class Metrics:
 GLOBAL = Metrics()
 
 
-def proof_size_kb(proof) -> float:
+def _dedup_digests(indices, depth: int) -> int:
+    """Digests transmitted for one tree's query batch after shared-node
+    dedup (the reference's ``visited[]`` rule, merkle_tree.h:46-48 /
+    merkle_tree.cpp:326-360)."""
+    from ..ops.merkle import dedup_path_size
+    return dedup_path_size([int(i) for i in indices], 1 << depth)
+
+
+def _whir_level_paths(lvl) -> int:
+    """Dedup'd digest count for a WhirLevel / WhirBatchLevel's two path
+    bundles: 4 coset leaves (ids p*4+l) of the current tree + one leaf
+    (interleave(p)//4) of the next tree, per query."""
+    import numpy as np
+    from ..pc.whir import _inter_index
+
+    qarr = np.asarray(lvl.queries)
+    if qarr.ndim == 1:
+        qarr = qarr[None, :]                 # unify single/batch layouts
+    d_cos = lvl.coset_paths.shape[-2]
+    d_nxt = lvl.next_paths.shape[-2]
+    next_m = 1 << (d_nxt + 2)                # next tree: m/4 leaves
+    total = 0
+    for row in qarr:
+        cs = [int(p) * 4 + l for p in row for l in range(4)]
+        total += _dedup_digests(cs, d_cos)
+        nx = [_inter_index(int(p), next_m) // 4 for p in row]
+        total += _dedup_digests(nx, d_nxt)
+    return total
+
+
+def _sizer_queries_paths(nt) -> tuple:
+    """Openings storing (queries, paths[..., depth, 8])."""
+    return (32 * _dedup_digests(nt.queries, nt.paths.shape[-2]), ("paths",))
+
+
+def _sizer_leaf_ids_paths(nt) -> tuple:
+    if not nt.leaf_ids:                      # legacy instance: raw count
+        return (int(nt.paths.nbytes), ("paths",))
+    return (32 * _dedup_digests(nt.leaf_ids, nt.paths.shape[-2]), ("paths",))
+
+
+def _sizer_whir_level(nt) -> tuple:
+    return (32 * _whir_level_paths(nt), ("coset_paths", "next_paths"))
+
+
+# Per-opening dedup accounting: type name -> fn(nt) -> (bytes, handled
+# field names).  Unregistered types fall back to raw nbytes (an upper
+# bound, never an understatement).
+_PATH_SIZERS = {
+    "ShockwaveOpening": _sizer_queries_paths,
+    "ElasticOpening": _sizer_leaf_ids_paths,
+    "ElasticRecursiveOpening": _sizer_leaf_ids_paths,
+    "ElasticMultiOpening": _sizer_leaf_ids_paths,
+    "ElasticMultiRecOpening": _sizer_leaf_ids_paths,
+    "TensorOpening": _sizer_leaf_ids_paths,
+    "RecursiveOpening": _sizer_leaf_ids_paths,
+    "WhirLevel": _sizer_whir_level,
+    "WhirBatchLevel": _sizer_whir_level,
+}
+
+
+def proof_size_kb(proof, dedup: bool = True) -> float:
     """Transmitted proof size in KB (the reference's ``Ps``, main.cpp:856).
 
     Walks the proof pytree: every device array is transmitted data — field
     elements are [..., 2] uint64 (16 B each), digests [..., 8] uint32
-    (32 B each), so ``nbytes`` is exactly the reference's accounting.
-    Host-side metadata (ints, tuples of ints, the timings dict) is free."""
-    import numpy as np
+    (32 B each), so ``nbytes`` matches the reference's accounting.
+    Host-side metadata (ints, tuples of ints, the timings dict) is free.
 
+    Merkle authentication paths are counted with shared nodes deduplicated
+    (the reference's ``visited[]`` rule, src/merkle_tree.h:46-48) for every
+    registered opening type; pass ``dedup=False`` for the raw bound."""
     total = 0
 
     def walk(x):
         nonlocal total
         if hasattr(x, "_fields"):            # NamedTuple
+            skip = ()
+            sizer = _PATH_SIZERS.get(type(x).__name__) if dedup else None
+            if sizer is not None:
+                nbytes, skip = sizer(x)
+                total += nbytes
             for name, v in zip(x._fields, x):
-                if name == "timings":
+                if name == "timings" or name in skip:
                     continue
                 walk(v)
         elif isinstance(x, dict):

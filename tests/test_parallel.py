@@ -1,5 +1,11 @@
-"""Sharded kernels on the 8-device virtual CPU mesh: outputs must be
-bit-identical to the single-device ops."""
+"""Sharded REAL-prover kernels on the 8-device virtual CPU mesh.
+
+Two pins per kernel: (a) outputs bit-identical to the single-device run,
+(b) the compiled HLO contains exactly the collectives the design calls
+for (SURVEY section 2.5; SCALING.md is generated from the same probes by
+`scripts/scaling_report.py`) — reductions cross chips, elementwise state
+does not.
+"""
 
 import numpy as np
 import jax
@@ -7,9 +13,9 @@ import jax.numpy as jnp
 
 from hobbit_tpu.core import gate_consistency as gc
 from hobbit_tpu.ops import encode as enc
-from hobbit_tpu.ops import blake3
 from hobbit_tpu.ops import field as F
-from hobbit_tpu.parallel import kernels, mesh as meshmod
+from hobbit_tpu.ops import mimc
+from hobbit_tpu.parallel import mesh as meshmod
 
 
 def _rf(rng, *shape):
@@ -18,13 +24,27 @@ def _rf(rng, *shape):
     return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
 
 
+def _collectives(fn, *args):
+    import re as _re
+    text = jax.jit(fn).lower(*args).compile().as_text()
+    out = {}
+    for c in ("all-reduce", "all-gather", "reduce-scatter", "all-to-all",
+              "collective-permute"):
+        n = len(_re.findall(rf"\b{c}(?:-start|-done)?\(", text))
+        out[c] = n - len(_re.findall(rf"\b{c}-start\(", text))
+    return out
+
+
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
     m = meshmod.make_mesh(8)
     assert m.shape == {"dp": 4, "tp": 2}
 
 
-def test_sharded_chunk_terms_match():
+def test_meshed_chunk_step_matches_and_reduces_once():
+    """The fold-phase chunk step (the kernel `core/prover.py` dispatches
+    per streamed chunk) under the mesh: bit-identical terms/state, and the
+    7 B-sized dot products fuse into ONE all-reduce."""
     rng = np.random.default_rng(0)
     m = meshmod.make_mesh(8)
     B = 64
@@ -32,45 +52,56 @@ def test_sharded_chunk_terms_match():
     names = ("L", "R", "O", "sa", "sm", "M")
     folds = {a: _rf(rng, B) for a in names}
     cur = {a: _rf(rng, B) for a in names}
-    fn = kernels.sharded_chunk_terms(m)
-    got = fn(beta, folds, cur)
-    want = gc._chunk_terms(beta, folds, cur)
-    assert bool(jnp.all(got == want))
+    C = jnp.zeros((3, 2), jnp.uint64)
+    state = mimc.fresh_state()
+
+    want = gc._chunk_step(beta, folds, cur, C, state)
+    with meshmod.use_mesh(m):
+        got = gc._chunk_step(beta, folds, cur, C, state)
+        cols = _collectives(
+            lambda b, f, c, C, s: gc._chunk_step(b, f, c, C, s),
+            beta, folds, cur, C, state)
+    for w, g in zip(jax.tree_util.tree_leaves(want),
+                    jax.tree_util.tree_leaves(got)):
+        assert bool(jnp.all(w == g))
+    assert cols["all-reduce"] >= 1
+    assert cols["all-gather"] == 0
+    assert cols["collective-permute"] == 0
 
 
-def test_sharded_tensor_encode_match():
+def test_meshed_tensor_encode_matches():
+    """The elastic-commit encode path with the chunk sharded on its
+    leading axis (pc/elastic.py:122)."""
     rng = np.random.default_rng(1)
     m = meshmod.make_mesh(8)
     spec = enc.make_tensor_spec(64, 8, linear_time=False)
-    chunks = _rf(rng, 4, 64)
-    fn = kernels.sharded_tensor_encode(m, spec)
-    got = fn(chunks)
-    want = enc.tensor_encode(spec, chunks)
+    chunk = _rf(rng, 64)
+    want = enc.tensor_encode(spec, chunk)
+    with meshmod.use_mesh(m):
+        got = jax.jit(
+            lambda ch: enc.tensor_encode(spec, meshmod.shard_leading(ch))
+        )(chunk)
     assert bool(jnp.all(got == want))
 
 
-import pytest
-
-
-@pytest.mark.skip(reason="multi-device BLAKE3 deadlocks on the 1-core "
-                  "virtual host-platform mesh (env quirk); the kernel is "
-                  "exercised on real multi-chip hardware")
-def test_sharded_leaf_hash_match():
-    rng = np.random.default_rng(2)
-    m = meshmod.make_mesh(8)
-    groups = _rf(rng, 32, 4)
-    fn = kernels.sharded_leaf_hash(m)
-    got = fn(groups)
-    want = blake3.hash_field_leaves(groups)
-    assert bool(jnp.all(got == want))
-
-
-def test_sharded_beta_dot_match():
+def test_meshed_fold_update_no_collectives():
+    """Negative control: the elementwise fold update must compile with
+    ZERO collectives under the mesh — sharding constraints alone add no
+    communication."""
     rng = np.random.default_rng(3)
     m = meshmod.make_mesh(8)
-    beta, v = _rf(rng, 128), _rf(rng, 128)
-    fn = kernels.sharded_beta_dot(m)
-    assert bool(jnp.all(fn(beta, v) == F.fdot(beta, v)))
+    f, c = _rf(rng, 128), _rf(rng, 128)
+    w = _rf(rng)
+
+    def upd(f, c, w):
+        return F.fadd(meshmod.shard_leading(f),
+                      F.fmul(w[None, :], meshmod.shard_leading(c)))
+
+    with meshmod.use_mesh(m):
+        cols = _collectives(upd, f, c, w)
+        got = upd(f, c, w)
+    assert sum(cols.values()) == 0
+    assert bool(jnp.all(got == F.fadd(f, F.fmul(w[None, :], c))))
 
 
 def test_four_step_fft_sharded_matches():
