@@ -147,7 +147,8 @@ def cmd_pc(args) -> dict:
 
     options (Our_PC.cpp:757-860): 1=ours/RS 2=Orion 3=Brakedown
     4=ours/Spielman 5=BrakingBase 6=WHIR; elastic variants via --elastic
-    (Elastic_PC.cpp:736-808): 1=streaming RS, 2=streaming Spielman."""
+    (Elastic_PC.cpp:736-808): 1=streaming RS, 2=streaming Spielman,
+    3=streaming Brakedown (1-D expander rows)."""
     jax = _setup_jax()
     import jax.numpy as jnp
     from .ops import field as F
@@ -160,7 +161,28 @@ def cmd_pc(args) -> dict:
     state = mimc.fresh_state()
     t0 = time.perf_counter()
 
-    if args.elastic:
+    if args.elastic and args.option == 3:
+        from .pc import brakedown as bd
+        # reference buffer rule: B = 2^(floor(n/2)+6) (Elastic_PC.cpp:786-791)
+        n = args.log_n
+        bb = (n // 2 + 6) if n % 2 else ((n - 1) // 2 + 6)
+        B = min(N // 4, 1 << bb)
+        params = bd.BrakedownStreamParams(N=N, B=B,
+                                          queries=args.queries or 2935)
+        chunk_fn = lambda i: msg[i * B:(i + 1) * B]
+        com = bd.commit_brakedown_stream(chunk_fn, params)
+        jax.block_until_ready(com.root)
+        commit_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        opening, st = bd.open_brakedown_stream(chunk_fn, com, x, state)
+        jax.block_until_ready(st)
+        open_t = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        okv, _ = bd.verify_brakedown_stream(com.root, x, opening, params,
+                                            state)
+        vt = time.perf_counter() - t0
+        ok = bool(okv)
+    elif args.elastic:
         from .pc import elastic
         from .pc import standard as std
         lt = args.option == 2

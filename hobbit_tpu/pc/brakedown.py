@@ -287,8 +287,171 @@ def verify_brakingbase(root, x, opening: BrakingBaseOpening,
     return ok, state
 
 
+# ---------------------------------------------------------------------------
+# Streaming Brakedown (the reference's `commit_brakedown_stream` /
+# `open_brakedown_stream`, Elastic_PC.cpp:112-173, 561-623; exercised by
+# test_Elastic_PC option 3, Elastic_PC.cpp:784-808): every B-sized CHUNK is
+# a row, 1-D Spielman-encoded B -> 2B; one chained Merkle tree over the 2B
+# codeword positions (chunk groups of 4 extend each leaf Merkle-Damgard
+# style — the same leaf rule as the tensor-code elastic commit).  Opening
+# transmits TWO B-sized aggregates — the eq(x_hi)-weighted evaluation
+# aggregate and a powers-of-r proximity aggregate — and checks both against
+# random codeword columns by code linearity.
+# ---------------------------------------------------------------------------
+
+
+class BrakedownStreamParams(NamedTuple):
+    N: int
+    B: int
+    queries: int = 2935         # reference schedule, Elastic_PC.cpp:562
+
+    @property
+    def K(self) -> int:
+        return self.N // self.B
+
+
+class BrakedownStreamCommitment(NamedTuple):
+    tree: merkle.MerkleTree
+    params: BrakedownStreamParams
+
+    @property
+    def root(self):
+        return self.tree.root
+
+
+class BrakedownStreamOpening(NamedTuple):
+    eval_claim: jnp.ndarray
+    aggr: jnp.ndarray           # [B, 2] eq-weighted aggregate (transmitted)
+    aggr_r: jnp.ndarray         # [B, 2] powers-of-r proximity aggregate
+    queries: Tuple[int, ...]    # codeword positions in [0, 2B)
+    reply: jnp.ndarray          # [q, K, 2] codeword columns across chunks
+    paths: jnp.ndarray          # [q, depth, 8]
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=16)
+def _bd_stream_kernels(params: BrakedownStreamParams):
+    from ..utils.jitting import maybe_jit
+
+    code = expanders.build_code(params.B)
+
+    @maybe_jit
+    def commit_group(chunks4, prev):
+        # chunks4 [4, B, 2] -> chained leaf update over 2B positions
+        cw = enc.spielman_encode_padded(code, chunks4)      # [4, 2B, 2]
+        return blake3.hash_chained_leaf(jnp.moveaxis(cw, 0, 1), prev)
+
+    @maybe_jit
+    def aggr_step(aggr, aggr_r, b, rp, chunk):
+        return (F.fadd(aggr, F.fmul(b[None, :], chunk)),
+                F.fadd(aggr_r, F.fmul(rp[None, :], chunk)))
+
+    @maybe_jit
+    def reply_step(chunk, idx):
+        cw = enc.spielman_encode_padded(code, chunk)        # [2B, 2]
+        return cw[idx]
+
+    return code, commit_group, aggr_step, reply_step
+
+
+def commit_brakedown_stream(chunk_fn, params: BrakedownStreamParams
+                            ) -> BrakedownStreamCommitment:
+    """chunk_fn(i) -> [B, 2]; O(B)-resident chained commit.
+
+    K must be a multiple of 4 and >= 4 (the reference refuses smaller
+    streams outright, Elastic_PC.cpp:113-116)."""
+    if params.K < 4 or params.K % 4:
+        raise ValueError("streaming Brakedown needs K % 4 == 0, K >= 4")
+    _, commit_group, _, _ = _bd_stream_kernels(params)
+    prev = jnp.zeros((2 * params.B, 8), dtype=jnp.uint32)
+    for g in range(params.K // 4):
+        chunks4 = jnp.stack([chunk_fn(4 * g + t) for t in range(4)])
+        prev = commit_group(chunks4, prev)
+    return BrakedownStreamCommitment(
+        tree=merkle.build_from_digests(prev), params=params)
+
+
+def open_brakedown_stream(chunk_fn, com: BrakedownStreamCommitment, x,
+                          state):
+    """Two passes over the chunk stream: aggregate, then query replies."""
+    params = com.params
+    _, _, aggr_step, reply_step = _bd_stream_kernels(params)
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)                  # [K, 2]
+    state, r = mimc.squeeze1(state)
+    rpow = poly.powers(r, params.K)               # [K, 2] proximity RLC
+
+    aggr = jnp.zeros((params.B, 2), dtype=jnp.uint64)
+    aggr_r = jnp.zeros((params.B, 2), dtype=jnp.uint64)
+    for i in range(params.K):
+        aggr, aggr_r = aggr_step(aggr, aggr_r, beta[i], rpow[i],
+                                 chunk_fn(i))
+    eval_claim = poly.evaluate_vector(aggr, x_lo)
+
+    for v in (aggr, aggr_r):
+        t = merkle.commit_fields(v)
+        state = mimc.absorb(state, t.root.astype(jnp.uint64).reshape(4, 2))
+    state, qs = mimc.expand(state, params.queries)
+    idx = tuple(int(v) % (2 * params.B) for v in np.asarray(qs)[:, 0])
+    lid = jnp.asarray(idx, dtype=jnp.int32)
+
+    cols = [reply_step(chunk_fn(i), lid) for i in range(params.K)]
+    reply = jnp.stack(cols, axis=1)               # [q, K, 2]
+    paths = merkle.open_leaves(com.tree, list(idx))
+    return BrakedownStreamOpening(
+        eval_claim=eval_claim, aggr=aggr, aggr_r=aggr_r, queries=idx,
+        reply=reply, paths=paths), state
+
+
+def verify_brakedown_stream(root, x, opening: BrakedownStreamOpening,
+                            params: BrakedownStreamParams, state):
+    code, _, _, _ = _bd_stream_kernels(params)
+    lb = int(np.log2(params.B))
+    x_lo, x_hi = x[:lb], x[lb:]
+    beta = poly.beta_table(x_hi)
+    state, r = mimc.squeeze1(state)
+    rpow = poly.powers(r, params.K)
+
+    for v in (opening.aggr, opening.aggr_r):
+        t = merkle.commit_fields(v)
+        state = mimc.absorb(state, t.root.astype(jnp.uint64).reshape(4, 2))
+    state, qs = mimc.expand(state, params.queries)
+    idx = tuple(int(v) % (2 * params.B) for v in np.asarray(qs)[:, 0])
+    if idx != tuple(opening.queries):
+        return False, state
+
+    if not bool(F.feq(poly.evaluate_vector(opening.aggr, x_lo),
+                      opening.eval_claim)):
+        return False, state
+
+    # code linearity at every query, both aggregates
+    cw_beta = enc.spielman_encode_padded(code, opening.aggr)
+    cw_r = enc.spielman_encode_padded(code, opening.aggr_r)
+    lid = jnp.asarray(idx, dtype=jnp.int32)
+    comb_beta = F.fsum(F.fmul(beta[None, :, :], opening.reply), axis=1)
+    comb_r = F.fsum(F.fmul(rpow[None, :, :], opening.reply), axis=1)
+    if not bool(jnp.logical_and(jnp.all(F.feq(comb_beta, cw_beta[lid])),
+                                jnp.all(F.feq(comb_r, cw_r[lid])))):
+        return False, state
+
+    # Merkle: recompute each chained leaf from the reply column
+    q = len(idx)
+    prev = jnp.zeros((q, 8), dtype=jnp.uint32)
+    for g in range(params.K // 4):
+        prev = blake3.hash_chained_leaf(opening.reply[:, 4 * g:4 * g + 4],
+                                        prev)
+    ok = merkle.verify_leaves_batch(root, prev, list(idx), opening.paths)
+    return bool(ok), state
+
+
 __all__ = [
     "BrakedownParams", "BrakedownCommitment", "BrakedownOpening",
     "BrakingBaseOpening", "commit", "open", "verify",
     "open_brakingbase", "verify_brakingbase",
+    "BrakedownStreamParams", "BrakedownStreamCommitment",
+    "BrakedownStreamOpening", "commit_brakedown_stream",
+    "open_brakedown_stream", "verify_brakedown_stream",
 ]
