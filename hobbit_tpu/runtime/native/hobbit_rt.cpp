@@ -259,22 +259,27 @@ struct Producer {
   i64 consumed = 0;          // chunks consumed
   bool ready[2] = {false, false};
   bool stop = false;
-  // program copy
+  // program copy (slot-renamed: il/ir/io index the O(slots) memory, not
+  // the O(N) wire space; feeds load input values into slots at their
+  // first-use position — the reference's slot-reclaiming emitter)
   std::vector<u32> types;
   std::vector<i64> il, ir, io;
   std::vector<u64> inputs, tables;
   std::vector<i64> toff;
+  std::vector<i64> feed_pos, feed_slot, feed_label;
   i64 num_inputs = 0;
+  i64 num_slots = 0;
 };
 
 static void producer_loop(Producer* p) {
   // re-evaluates the circuit forever, chunk by chunk (the reference's
-  // infinite Seval loop restarting at the sentinel, Seval.cpp:1292-1299)
+  // infinite Seval loop restarting at the sentinel, Seval.cpp:1292-1299).
+  // Memory is O(num_slots) — the liveness allocator's peak — not O(N):
+  // inputs stream into slots at their scheduled feed position.
   std::vector<F2> mem;
   while (true) {
-    mem.assign((size_t)(p->num_inputs + p->total_gates), F2{0, 0});
-    for (i64 i = 0; i < p->num_inputs; i++)
-      mem[i] = {p->inputs[2 * i], p->inputs[2 * i + 1]};
+    mem.assign((size_t)p->num_slots, F2{0, 0});
+    size_t fp = 0;
     for (i64 start = 0; start < p->total_gates; start += p->chunk_gates) {
       int slot = (int)((p->produced) & 1);
       {
@@ -286,6 +291,12 @@ static void producer_loop(Producer* p) {
       i64 end = start + p->chunk_gates;
       if (end > p->total_gates) end = p->total_gates;
       for (i64 g = start; g < end; g++) {
+        while (fp < p->feed_pos.size() && p->feed_pos[fp] <= g) {
+          i64 lbl = p->feed_label[fp];
+          mem[p->feed_slot[fp]] = {p->inputs[2 * lbl],
+                                   p->inputs[2 * lbl + 1]};
+          fp++;
+        }
         F2 l = mem[p->il[g]];
         F2 r = mem[p->ir[g]];
         F2 o{0, 0};
@@ -317,17 +328,26 @@ static void producer_loop(Producer* p) {
   }
 }
 
+// idx_l/idx_r/idx_o are SLOT indices (liveness-renamed); feeds schedule
+// input loads: before gate feed_pos[i] runs, inputs[feed_label[i]] is
+// stored into slot feed_slot[i].
 void* rt_producer_start(const u32* types, const i64* idx_l, const i64* idx_r,
                         const i64* idx_o, const u64* inputs,
                         const u64* tables, const i64* tab_off,
                         i64 num_tables, i64 num_gates, i64 num_inputs,
-                        i64 chunk_gates) {
+                        i64 num_slots, const i64* feed_pos,
+                        const i64* feed_slot, const i64* feed_label,
+                        i64 num_feeds, i64 chunk_gates) {
   Producer* p = new Producer();
   p->types.assign(types, types + num_gates);
   p->il.assign(idx_l, idx_l + num_gates);
   p->ir.assign(idx_r, idx_r + num_gates);
   p->io.assign(idx_o, idx_o + num_gates);
   p->inputs.assign(inputs, inputs + 2 * num_inputs);
+  p->num_slots = num_slots;
+  p->feed_pos.assign(feed_pos, feed_pos + num_feeds);
+  p->feed_slot.assign(feed_slot, feed_slot + num_feeds);
+  p->feed_label.assign(feed_label, feed_label + num_feeds);
   if (num_tables > 0) {
     i64 total_len = tab_off[num_tables];  // [num_tables+1] offsets
     p->tables.assign(tables, tables + total_len);

@@ -152,17 +152,44 @@ class WitnessProducer:
     ``next_chunk``.  Use as a context manager to guarantee shutdown."""
 
     def __init__(self, program, inputs, chunk_gates: int):
-        types, il, ir, io, tabs, toff = _flatten_program(program)
+        # slot-renamed program: the native producer's working memory is
+        # O(program.num_slots) — the liveness allocator's peak — not O(N);
+        # inputs stream into slots at their scheduled first-use position
+        # (the reference's slot-reclaiming emitter, Seval.cpp:119-222)
+        types, sl, sr, so = [], [], [], []
+        feed_pos, feed_slot, feed_label = [], [], []
+        pos = 0
+        for plan in program.plans:
+            feed_pos.extend([pos] * len(plan.feed_slots))
+            feed_slot.extend(np.asarray(plan.feed_slots).tolist())
+            feed_label.extend(np.asarray(plan.feed_labels).tolist())
+            types.append(np.asarray(plan.types, dtype=np.uint32))
+            sl.append(np.asarray(plan.sl, dtype=np.int64))
+            sr.append(np.asarray(plan.sr, dtype=np.int64))
+            so.append(np.asarray(plan.so, dtype=np.int64))
+            pos += len(plan.types)
+        cat = (lambda xs, dt: np.concatenate(xs).astype(dt) if xs
+               else np.zeros(0, dt))
+        types = cat(types, np.uint32)
+        sl, sr, so = (cat(sl, np.int64), cat(sr, np.int64),
+                      cat(so, np.int64))
+        fpos = np.asarray(feed_pos, dtype=np.int64)
+        fslot = np.asarray(feed_slot, dtype=np.int64)
+        flabel = np.asarray(feed_label, dtype=np.int64)
+        _, _, _, _, tabs, toff = _flatten_program(program)
         x = np.ascontiguousarray(np.asarray(inputs, dtype=np.uint64))
         self.chunk_gates = chunk_gates
         self.num_gates = len(types)
-        self._keep = (types, il, ir, io, tabs, toff, x)
+        self._keep = (types, sl, sr, so, tabs, toff, x,
+                      fpos, fslot, flabel)
         num_tables = len(toff) - 1
         self._h = lib().rt_producer_start(
-            _u32p(types), _i64p(il), _i64p(ir), _i64p(io), _u64p(x),
+            _u32p(types), _i64p(sl), _i64p(sr), _i64p(so), _u64p(x),
             _u64p(tabs), _i64p(toff), ctypes.c_int64(num_tables),
             ctypes.c_int64(self.num_gates), ctypes.c_int64(x.shape[0]),
-            ctypes.c_int64(chunk_gates))
+            ctypes.c_int64(int(program.num_slots)),
+            _i64p(fpos), _i64p(fslot), _i64p(flabel),
+            ctypes.c_int64(len(fpos)), ctypes.c_int64(chunk_gates))
         self._buf = np.empty((chunk_gates, 3, 2), dtype=np.uint64)
 
     def next_chunk(self):

@@ -656,6 +656,38 @@ def gate_segment_to_trace(seg: GateSegment) -> Trace:
         fin_idx=e, fin_val=e2, fin_cnt=e)
 
 
+def _prefetch(gen, depth: int = 2):
+    """Producer-thread wrapper: run ``gen`` in a background thread so the
+    NEXT chunk's witness re-execution (host-side level walking + device
+    dispatches) overlaps the consumer's proving kernels — the TPU analog
+    of the reference's double-buffered Seval producer thread
+    (Seval.cpp:107-152).  FIFO order is preserved, so transcripts are
+    bit-identical to the synchronous path."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    end = object()
+
+    def run():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:          # re-raised at the consumer
+            q.put(e)
+            return
+        q.put(end)
+
+    threading.Thread(target=run, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class TraceOracle:
     """Re-streamable chunk source over a program + inputs.
 
@@ -702,10 +734,11 @@ class TraceOracle:
         segs = (seg for kind, seg in
                 stream_segments(self.program, self.inputs,
                                 emit_finals=False) if kind == "gates")
-        for gseg in _rechunk(segs, chunk, self.program.num_gates,
-                             lambda s, h: _gate_seg_pad(s, h, chunk),
-                             _gate_seg_slice):
-            yield gate_segment_to_trace(gseg)
+        yield from _prefetch(
+            gate_segment_to_trace(gseg)
+            for gseg in _rechunk(segs, chunk, self.program.num_gates,
+                                 lambda s, h: _gate_seg_pad(s, h, chunk),
+                                 _gate_seg_slice))
 
     def final_chunks(self, chunk: int):
         """Yield (idx [c], val [c,2], cnt [c], n_valid) final records in
@@ -724,15 +757,19 @@ class TraceOracle:
         segs = (seg for kind, seg in
                 stream_segments(self.program, self.inputs,
                                 emit_gates=False) if kind == "finals")
-        done = 0
         total = self.program.num_wires
-        for fseg in _rechunk(segs, chunk, total,
-                             lambda s, h: _final_seg_pad(s, h, chunk),
-                             _final_seg_slice):
-            valid = min(chunk, total - done)
-            done += valid
-            yield (jnp.asarray(fseg.labels), fseg.values,
-                   jnp.asarray(fseg.counts), valid)
+
+        def produce():
+            done = 0
+            for fseg in _rechunk(segs, chunk, total,
+                                 lambda s, h: _final_seg_pad(s, h, chunk),
+                                 _final_seg_slice):
+                valid = min(chunk, total - done)
+                done += valid
+                yield (jnp.asarray(fseg.labels), fseg.values,
+                       jnp.asarray(fseg.counts), valid)
+
+        yield from _prefetch(produce())
 
 
 def _slice_pad(tr: Trace, s: int, e: int, chunk: int) -> Trace:
