@@ -18,11 +18,15 @@ Query schedule: the reference targets ~100 bits per committed level via
 ``queries = 100 / log2(1/rate)`` (Virgo.cpp:544,584 — `repeats = 100;
 //100-bit of security`).  Every level here re-encodes at rate 1/2, so the
 same formula gives 100 in-domain queries per level — the default below.
-Deviation (documented): the reference additionally samples out-of-domain
-"zetas" per iteration (proximity-gap style); we meet the query-soundness
-target with in-domain queries alone (classic FRI/BaseFold analysis at
-rate 1/2), keeping the count configurable per call site — tests override
-it explicitly, production paths inherit the default.
+Out-of-domain samples (the reference's "zetas", Virgo.cpp:560-651 /
+compute_zetas:221-237) are implemented in both the single and batched
+variants: after each level's commitment, one random point
+z = (zeta, zeta^2, zeta^4, ...) is drawn, the prover transmits the
+folded polynomial's evaluation there, and the claim is RLC-merged into
+the running sumcheck constraint (beta += gamma*eq_z, claim += gamma*y).
+This is exactly the reference's ``beta[j] += pow*_beta[j]; eval +=
+pow*y[i]`` fold and supplies list-decoding binding on top of the
+in-domain queries.
 """
 
 from __future__ import annotations
@@ -63,6 +67,7 @@ class WhirLevel(NamedTuple):
     coset_paths: jnp.ndarray           # [q, 4, depth, 8] paths (4 leaves)
     next_leaves: jnp.ndarray           # [q, 4, 2] full Merkle leaf values
     next_paths: jnp.ndarray            # [q, depth, 8]
+    ood_eval: Optional[jnp.ndarray] = None   # [2] MLE_v(zeta, zeta^2, ...)
 
 
 class WhirProof(NamedTuple):
@@ -187,6 +192,23 @@ def prove(com: WhirCommitment, values, x, state,
         next_inter, next_tree = _encode(coeffs)
         state = mimc.absorb(state,
                             next_tree.root.astype(jnp.uint64).reshape(4, 2))
+        # out-of-domain sample (the reference's zetas, Virgo.cpp:560-651 /
+        # compute_zetas:221-237): bind the committed codeword at a random
+        # point z = (zeta, zeta^2, zeta^4, ...) and RLC-merge the claim
+        # into the running sumcheck constraint (beta += gamma*eq_z,
+        # claim += gamma*y) — list-decoding binding on top of the
+        # in-domain queries.
+        state, zeta = mimc.squeeze1(state)
+        zdims = int(np.log2(v.shape[0]))
+        zc = [zeta]
+        for _ in range(zdims - 1):
+            zc.append(F.fmul(zc[-1], zc[-1]))
+        zpt = jnp.stack(zc)                             # [zdims, 2]
+        eqz = poly.beta_table(zpt)
+        y_ood = F.fdot(v, eqz)
+        state = mimc.absorb(state, y_ood.reshape(1, 2))
+        state, gamma = mimc.squeeze1(state)
+        b = F.fadd(b, F.fmul(gamma[None, :], eqz))
         state, qs = mimc.expand(state, queries)
         next_m = coeffs.shape[0] * 2
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
@@ -206,7 +228,7 @@ def prove(com: WhirCommitment, values, x, state,
         levels.append(WhirLevel(
             root=next_tree.root, queries=positions, cosets=cosets,
             coset_paths=coset_paths, next_leaves=nleaves,
-            next_paths=next_paths))
+            next_paths=next_paths, ood_eval=y_ood))
         cur_inter, cur_tree = next_inter, next_tree
         domain_log = int(np.log2(next_m))
 
@@ -239,6 +261,7 @@ def verify(root, proof: WhirProof, x, y, state,
     ri = 0
     zero, one = F.scalar(0), F.scalar(1)
     done = 0
+    oods = []        # [gamma, z-coords list, running eq factor, #consumed]
 
     for lvl in proof.levels:
         chals = []
@@ -256,9 +279,29 @@ def verify(root, proof: WhirProof, x, y, state,
             e = F.fadd(F.fmul(F.fsub(one, xj), F.fsub(one, r)),
                        F.fmul(xj, r))
             eq_scalar = F.fmul(eq_scalar, e)
+            for c in oods:               # fold the OOD eq-vectors too
+                zj = c[1][c[3]]
+                ez = F.fadd(F.fmul(F.fsub(one, zj), F.fsub(one, r)),
+                            F.fmul(zj, r))
+                c[2] = F.fmul(c[2], ez)
+                c[3] += 1
             done += 1
             ri += 1
         state = mimc.absorb(state, lvl.root.astype(jnp.uint64).reshape(4, 2))
+        # out-of-domain sample (mirrors prove; Virgo.cpp:560-651)
+        state, zeta = mimc.squeeze1(state)
+        zdims = int(np.log2(cur_size // (1 << K_FOLD)))
+        zc = [zeta]
+        for _ in range(zdims - 1):
+            zc.append(F.fmul(zc[-1], zc[-1]))
+        y_ood = lvl.ood_eval
+        ok = ok and y_ood is not None
+        if y_ood is None:
+            y_ood = jnp.zeros((2,), jnp.uint64)
+        state = mimc.absorb(state, y_ood.reshape(1, 2))
+        state, gamma = mimc.squeeze1(state)
+        claim = F.fadd(claim, F.fmul(gamma, y_ood))
+        oods.append([gamma, zc, one, 0])
         state, qs = mimc.expand(state, queries)
         next_m = (cur_size // (1 << K_FOLD)) * 2
         positions = tuple(int(t) % next_m for t in np.asarray(qs)[:, 0])
@@ -291,10 +334,15 @@ def verify(root, proof: WhirProof, x, y, state,
         domain_log = int(np.log2(next_m))
 
     state = mimc.absorb(state, proof.final_poly)
-    # final: claim == eq_scalar * <final values, beta(x_rest)>
+    # final: claim == eq_scalar * <vals, beta(x_rest)>
+    #              + sum_c gamma_c * factor_c * <vals, beta(z_c rest)>
     vals = poly.from_coefficient_form(proof.final_poly)
     b_rest = poly.beta_table(x[done:])
     total = F.fmul(eq_scalar, F.fdot(vals, b_rest))
+    for gamma, zc, factor, used in oods:
+        bz = poly.beta_table(jnp.stack(zc[used:]))
+        total = F.fadd(total,
+                       F.fmul(F.fmul(gamma, factor), F.fdot(vals, bz)))
     ok = ok and bool(F.feq(total, claim))
     return ok, state
 
@@ -326,6 +374,7 @@ class WhirBatchLevel(NamedTuple):
     coset_paths: jnp.ndarray           # [I, q*4, depth, 8]
     next_leaves: jnp.ndarray           # [I, q, 4, 2]
     next_paths: jnp.ndarray            # [I, q, depth, 8]
+    ood_evals: Optional[jnp.ndarray] = None   # [I, 2] out-of-domain evals
 
 
 class WhirBatchProof(NamedTuple):
@@ -434,6 +483,29 @@ def prove_batch(values, xs, state, queries: int = QUERIES_PER_LEVEL,
                           final_polys=final, n=n), ys, state
 
 
+
+
+def _batch_eq_table(zpt):
+    """Batched eq table: zpt [I, k, 2] -> [I, 2^k, 2] with
+    B[i, x] = prod_j (x_j ? z_ij : 1 - z_ij), bit j of x <-> z_ij."""
+    I = zpt.shape[0]
+    one = F.scalar(1)
+    eqz = jnp.zeros((I, 1, 2), dtype=jnp.uint64).at[:, :, 0].set(1)
+    for j in range(zpt.shape[1]):
+        zj = zpt[:, j]
+        eqz = jnp.concatenate(
+            [F.fmul(eqz, F.fsub(one[None], zj)[:, None, :]),
+             F.fmul(eqz, zj[:, None, :])], axis=1)
+    return eqz
+
+
+def _batch_ood_point(zeta, zdims: int):
+    """[I, 2] zeta -> [I, zdims, 2] point (zeta, zeta^2, zeta^4, ...)."""
+    zc = [zeta]
+    for _ in range(zdims - 1):
+        zc.append(F.fmul(zc[-1], zc[-1]))
+    return jnp.stack(zc, axis=1)
+
 @maybe_jit(static_argnums=(4,))
 def _prove_batch_impl(values, xs, gammas, state, queries: int):
     I, n = values.shape[0], values.shape[1]
@@ -478,6 +550,14 @@ def _prove_batch_impl(values, xs, gammas, state, queries: int):
         next_inter, next_tree = _batch_encode(coeffs)
         subs = _babsorb(
             subs, next_tree.roots.astype(jnp.uint64).reshape(I, 4, 2))
+        # out-of-domain sample per instance (Virgo.cpp:560-651)
+        subs, zeta = _bsqueeze(subs)
+        zpt = _batch_ood_point(zeta, int(np.log2(v.shape[1])))
+        eqz = _batch_eq_table(zpt)
+        y_ood = F.fsum(F.fmul(v, eqz), axis=1)             # [I, 2]
+        subs = _babsorb(subs, y_ood[:, None, :])
+        subs, gamma = _bsqueeze(subs)
+        b = F.fadd(b, F.fmul(gamma[:, None, :], eqz))
         subs, qs = _bexpand(subs, queries)
         next_m = coeffs.shape[1] * 2
         pos_d = (qs[:, :, 0] % next_m).astype(jnp.int64)   # stays on device
@@ -500,7 +580,7 @@ def _prove_batch_impl(values, xs, gammas, state, queries: int):
         levels.append(WhirBatchLevel(
             roots=next_tree.roots, queries=pos_d, cosets=cosets,
             coset_paths=coset_paths, next_leaves=nleaves,
-            next_paths=next_paths))
+            next_paths=next_paths, ood_evals=y_ood))
         cur_inter, cur_tree = next_inter, next_tree
         domain_log = int(np.log2(next_m))
 
@@ -572,6 +652,7 @@ def _verify_batch_impl(roots0, sc_polys, levels, final_polys, xs, gammas,
     cur_size = n
     ri = 0
     done = 0
+    oods = []        # [gamma [I,2], zpt [I,k,2], factor [I,2], #consumed]
 
     for lvl in levels:
         chals = []
@@ -589,11 +670,27 @@ def _verify_batch_impl(roots0, sc_polys, levels, final_polys, xs, gammas,
                               F.fsub(one[None, None], r[:, None])),
                        F.fmul(xj, r[:, None]))
             eq_scalar = F.fmul(eq_scalar, e)
+            for c in oods:               # fold the OOD eq-vectors too
+                zj = c[1][:, c[3]]
+                ez = F.fadd(F.fmul(F.fsub(one[None], zj),
+                                   F.fsub(one[None], r)),
+                            F.fmul(zj, r))
+                c[2] = F.fmul(c[2], ez)
+                c[3] += 1
             chals.append(r)
             done += 1
             ri += 1
         subs = _babsorb(
             subs, lvl.roots.astype(jnp.uint64).reshape(I, 4, 2))
+        # out-of-domain sample (mirrors _prove_batch_impl)
+        subs, zeta = _bsqueeze(subs)
+        zpt = _batch_ood_point(zeta, int(np.log2(cur_size // (1 << K_FOLD))))
+        y_ood = lvl.ood_evals
+        subs = _babsorb(subs, y_ood[:, None, :])
+        subs, gamma = _bsqueeze(subs)
+        claims = F.fadd(claims, F.fmul(gamma, y_ood))
+        ood_one = jnp.zeros((I, 2), dtype=jnp.uint64).at[:, 0].set(1)
+        oods.append([gamma, zpt, ood_one, 0])
         subs, qs = _bexpand(subs, queries)
         next_m = (cur_size // (1 << K_FOLD)) * 2
         positions = (qs[:, :, 0] % next_m).astype(jnp.int64)
@@ -634,5 +731,9 @@ def _verify_batch_impl(roots0, sc_polys, levels, final_polys, xs, gammas,
                                    for j in range(M)]) for i in range(I)])
     inner = F.fsum(F.fmul(finals[:, None], b_rest), axis=2)   # [I, M, 2]
     total = F.fsum(F.fmul(gammas, F.fmul(eq_scalar, inner)), axis=1)
+    for gamma, zpt, factor, used in oods:
+        bz = _batch_eq_table(zpt[:, used:])
+        iz = F.fsum(F.fmul(finals, bz), axis=1)               # [I, 2]
+        total = F.fadd(total, F.fmul(F.fmul(gamma, factor), iz))
     ok = jnp.logical_and(ok, jnp.all(F.feq(total, claims)))
     return ok, state

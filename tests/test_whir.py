@@ -95,3 +95,37 @@ def test_whir_batch_roundtrip_and_tamper():
         cosets=lv.cosets.at[2, 0, 0].set(F.scalar(9))),) + proof.levels[1:])
     okc, _ = whir.verify_batch(tree.roots, tam, xs, ys, state, queries=6)
     assert not bool(okc)
+
+
+def test_whir_rejects_tampered_ood_eval():
+    # out-of-domain binding (Virgo.cpp:560-651): a forged zeta-evaluation
+    # must break the RLC-merged constraint
+    n = 1 << 10
+    vals = rand_field(n)
+    com = whir.commit(vals)
+    x = rand_field(10)
+    proof, y, _ = whir.prove(com, vals, x, mimc.fresh_state(), queries=8)
+    lvl0 = proof.levels[0]
+    bad_lvl = lvl0._replace(
+        ood_eval=F.fadd(lvl0.ood_eval, F.scalar(1)))
+    bad = proof._replace(levels=(bad_lvl,) + proof.levels[1:])
+    ok, _ = whir.verify(com.root, bad, x, y, mimc.fresh_state(), queries=8)
+    assert not ok
+
+
+def test_whir_batch_rejects_tampered_ood_eval():
+    I, n, bits = 3, 1 << 9, 9
+    vals = rand_field((I, n))
+    xs = rand_field((I, bits))
+    coeffs = jnp.stack([poly.to_coefficient_form(vals[i]) for i in range(I)])
+    _, tree = whir._batch_encode(coeffs)
+    state = mimc.absorb(mimc.fresh_state(), tree.roots.astype(jnp.uint64))
+    proof, ys, _ = whir.prove_batch(vals, xs, state, queries=6)
+    ok, _ = whir.verify_batch(tree.roots, proof, xs, ys, state, queries=6)
+    assert bool(ok)
+    lvl0 = proof.levels[0]
+    bad_lvl = lvl0._replace(
+        ood_evals=lvl0.ood_evals.at[1, 0].set(lvl0.ood_evals[1, 0] ^ 1))
+    bad = proof._replace(levels=(bad_lvl,) + proof.levels[1:])
+    okb, _ = whir.verify_batch(tree.roots, bad, xs, ys, state, queries=6)
+    assert not bool(okb)
