@@ -88,6 +88,15 @@ class Geometry(NamedTuple):
         return int(np.log2(self.np2))
 
 
+def _trace(phase: str, dt: float):
+    """Env-gated phase progress (HOBBIT_TRACE=1): localizes stalls on
+    remote-attached devices where a cold run can take minutes per phase."""
+    import os
+    import sys
+    if os.environ.get("HOBBIT_TRACE") == "1":
+        print(f"[prove] {phase}: {dt:.1f}s", file=sys.stderr, flush=True)
+
+
 def _pow2_above(n: int) -> int:
     return 1 << int(np.ceil(np.log2(max(2, n))))
 
@@ -192,6 +201,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     state = mimc.fresh_state()
     state = _absorb_root(state, circuit_com.root)
     timings["setup"] = time.time() - t0
+    _trace("setup", timings["setup"])
 
     # ---- 1. commitments --------------------------------------------------
     t0 = time.time()
@@ -265,6 +275,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         t_com = elastic.commit_stream(t_chunks, t_params, full=counts_f)
         state = _absorb_root(state, t_com.root)
     timings["commit"] = time.time() - t0
+    _trace("commit", timings["commit"])
 
     # ---- 2. wiring consistency ------------------------------------------
     t0 = time.time()
@@ -281,6 +292,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         w_oracle, 4, 4 * g.np2, state, B0, config.mt_distance,
         pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
     timings["wiring"] = time.time() - t0
+    _trace("wiring", timings["wiring"])
 
     # ---- 3. lookups ------------------------------------------------------
     lookup_proof = p_l = c_l = None
@@ -297,6 +309,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             l_oracle, 4, g.size_l, state, B0, config.mt_distance,
             pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
         timings["lookups"] = time.time() - t0
+        _trace("lookups", timings["lookups"])
 
     # ---- 4. gate consistency --------------------------------------------
     t0 = time.time()
@@ -309,6 +322,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         gc_proof, state = gc.prove(_SeqGateArrays(oracle, g), g.K_gc,
                                    g.B_gc, r_gc, state)
     timings["gate_consistency"] = time.time() - t0
+    _trace("gate_consistency", timings["gate_consistency"])
 
     # ---- 5. openings -----------------------------------------------------
     t0 = time.time()
@@ -353,6 +367,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             _chunked(counts_f, t_params.B), t_com, pts["t"], state,
             config, full=counts_f)
     timings["open"] = time.time() - t0
+    _trace("open", timings["open"])
 
     proof = CircuitProof(
         witness_root=w_com.root, final_root=f_com.root,

@@ -279,18 +279,23 @@ def verify(root, x, opening: ElasticOpening, params: std.TensorPCParams,
 
     spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
     enc_aggr = enc.tensor_encode(spec, opening.aggr)
+    # batched over queries: q*K tiny dispatches otherwise (weak on
+    # remote-attached devices where every dispatch pays a round trip)
     comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
-    for qi, (r, c) in enumerate(zip(qrows, qcols)):
-        if not bool(F.feq(comb[qi, r % 4], enc_aggr[r, c])):
-            return False, state
-        prev = jnp.zeros((8,), dtype=jnp.uint32)
-        for i in range(params.K):
-            prev = blake3.hash_chained_leaf(
-                opening.reply[qi, i][None], prev[None])[0]
-        leaf_id = (r // 4) * (2 * params.cols) + c
-        if not merkle.verify_leaf(root, prev, leaf_id, opening.paths[qi]):
-            return False, state
-    return True, state
+    ra = jnp.asarray(qrows, dtype=jnp.int64)
+    ca = jnp.asarray(qcols, dtype=jnp.int64)
+    picked = jnp.take_along_axis(comb, (ra % 4)[:, None, None],
+                                 axis=1)[:, 0]
+    want = enc_aggr[ra, ca]
+    if not bool(jnp.all(F.feq(picked, want))):
+        return False, state
+    prev = jnp.zeros((len(qrows), 8), dtype=jnp.uint32)
+    for i in range(params.K):
+        prev = blake3.hash_chained_leaf(opening.reply[:, i], prev)
+    leaf_ids = [(r // 4) * (2 * params.cols) + c
+                for r, c in zip(qrows, qcols)]
+    ok = merkle.verify_leaves_batch(root, prev, leaf_ids, opening.paths)
+    return bool(ok), state
 
 
 # ---------------------------------------------------------------------------
@@ -378,17 +383,17 @@ def verify_recursive(root, x, opening: ElasticRecursiveOpening,
         return False, state
 
     comb = F.fsum(F.fmul(beta[None, :, None, :], opening.reply), axis=1)
-    comb_vals = []
-    for qi, (r, c) in enumerate(zip(qrows, qcols)):
-        comb_vals.append(comb[qi, r % 4])
-        prev = jnp.zeros((8,), dtype=jnp.uint32)
-        for i in range(params.K):
-            prev = blake3.hash_chained_leaf(
-                opening.reply[qi, i][None], prev[None])[0]
-        leaf_id = (r // 4) * (2 * params.cols) + c
-        if not merkle.verify_leaf(root, prev, leaf_id, opening.paths[qi]):
-            return False, state
-    comb_vals = jnp.stack(comb_vals)
+    ra = jnp.asarray(qrows, dtype=jnp.int64)
+    comb_vals = jnp.take_along_axis(comb, (ra % 4)[:, None, None],
+                                    axis=1)[:, 0]
+    prev = jnp.zeros((len(qrows), 8), dtype=jnp.uint32)
+    for i in range(params.K):
+        prev = blake3.hash_chained_leaf(opening.reply[:, i], prev)
+    leaf_ids = [(r // 4) * (2 * params.cols) + c
+                for r, c in zip(qrows, qcols)]
+    if not bool(merkle.verify_leaves_batch(root, prev, leaf_ids,
+                                           opening.paths)):
+        return False, state
 
     if params.linear_time:
         spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
