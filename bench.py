@@ -21,6 +21,14 @@ repetitions and a SCALAR reduction output — on remote-attached TPUs the
 device->host pull of a large result dominates wall clock otherwise, and
 XLA strength-reduces loop-invariant chains unless the chain is
 algebraically opaque (the modular reduction is).
+
+CRITICAL (round-4 finding): operands MUST be explicit jit arguments,
+never closure-captured.  On the remote-attached (axon) platform a jit
+that closes over a 33 MB device array serializes it through the compile
+RPC as a program constant: compile time goes 2 s -> ~100 s REGARDLESS of
+graph size, and execution retraffics the constants every call (20e9
+mults/s vs 300e9 with explicit args).  This single issue produced the
+null BENCH payloads of rounds 1-3 and the 26e9->20e9 "regression".
 """
 
 import json
@@ -113,10 +121,11 @@ def _timeit(step, init_s, reps):
 def bench_field_mult(rng, n=1 << 22, chain=16, reps=8):
     a = _rand_field(rng, n)
     b = _rand_field(rng, n)
-    ar, ai, br, bi = a[:, 0], a[:, 1], b[:, 0], b[:, 1]
+    ar, ai, br, bi = (jnp.array(x) for x in
+                      (a[:, 0], a[:, 1], b[:, 0], b[:, 1]))
 
     @jax.jit
-    def step(s):
+    def step(s, ar, ai, br, bi):
         cr, ci = ar, ai
         for _ in range(chain):
             t = F.mulmod(cr + ci, br + bi)
@@ -126,7 +135,8 @@ def bench_field_mult(rng, n=1 << 22, chain=16, reps=8):
             ci = F.submod(F.submod(t, ac), bd)
         return jnp.sum(cr) + jnp.sum(ci) + s
 
-    dt = _timeit(step, jnp.zeros((), jnp.uint64), reps)
+    dt = _timeit(lambda s: step(s, ar, ai, br, bi),
+                 jnp.zeros((), jnp.uint64), reps)
     return chain * n / dt
 
 
@@ -134,11 +144,11 @@ def bench_merkle_hashes(rng, n_leaves=1 << 18, reps=8):
     vals = _rand_field(rng, n_leaves * 4).reshape(n_leaves, 4, 2)
 
     @jax.jit
-    def step(s):
+    def step(s, vals):
         d = blake3.hash_field_leaves(vals)
         return jnp.sum(d.astype(jnp.uint64)) + s
 
-    dt = _timeit(step, jnp.zeros((), jnp.uint64), reps)
+    dt = _timeit(lambda s: step(s, vals), jnp.zeros((), jnp.uint64), reps)
     return n_leaves / dt
 
 
@@ -154,12 +164,13 @@ def bench_fold_phase(rng, B=1 << 18, reps=8):
                     sel_mul=jnp.zeros((B, 2), jnp.uint64))
 
     @jax.jit
-    def step(s):
+    def step(s, beta, folds, ga):
         cur = gc._derived(ga)
         terms = gc._chunk_terms(beta, folds, cur)
         return F.fsum(terms)[0] + s
 
-    dt = _timeit(step, jnp.zeros((), jnp.uint64), reps)
+    dt = _timeit(lambda s: step(s, beta, folds, ga),
+                 jnp.zeros((), jnp.uint64), reps)
     return B / dt
 
 
@@ -168,26 +179,30 @@ def bench_tensor_encode(rng, N=1 << 20, rows=64, reps=8):
     msg = _rand_field(rng, N)
 
     @jax.jit
-    def step(s):
+    def step(s, msg):
         cw = enc.tensor_encode(spec, msg)
         return jnp.sum(cw[:, 0, 0]) + s
 
-    dt = _timeit(step, jnp.zeros((), jnp.uint64), reps)
+    dt = _timeit(lambda s: step(s, msg), jnp.zeros((), jnp.uint64), reps)
     return N / dt
 
 
 def bench_spielman_encode(rng, n=1 << 16, batch=16, reps=8):
     from hobbit_tpu.ops import expanders
 
+    from hobbit_tpu.utils.closure import hoist_arrays
+
     code = expanders.build_code(n)
     msgs = _rand_field(rng, batch, n)
+    code_arrs, rebuild = hoist_arrays(code)
 
     @jax.jit
-    def step(s):
-        cw = expanders.encode(code, msgs)
+    def step(s, msgs, code_arrs):
+        cw = expanders.encode(rebuild(code_arrs), msgs)
         return jnp.sum(cw[:, 0, 0]) + s
 
-    dt = _timeit(step, jnp.zeros((), jnp.uint64), reps)
+    dt = _timeit(lambda s: step(s, msgs, code_arrs),
+                 jnp.zeros((), jnp.uint64), reps)
     return batch * n / dt
 
 

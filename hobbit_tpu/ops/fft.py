@@ -21,12 +21,17 @@ from . import poly
 from ..utils.jitting import maybe_jit
 
 
-@functools.lru_cache(maxsize=None)
-def _bitrev(logn: int) -> np.ndarray:
-    n = 1 << logn
-    rev = np.zeros(n, dtype=np.int32)
-    for i in range(1, n):
-        rev[i] = rev[i >> 1] >> 1 | (i & 1) << (logn - 1)
+def _bitrev(logn: int):
+    """Bit-reversal permutation [n], computed ON DEVICE from iota.
+
+    Computing (rather than tabulating) keeps the permutation out of the
+    lowered program: a host table would be embedded as an n-length
+    constant in every FFT-bearing program, which the remote-attach
+    compile path serializes at ~1 s/MB (see utils/closure.py)."""
+    i = jnp.arange(1 << logn, dtype=jnp.int32)
+    rev = jnp.zeros_like(i)
+    for b in range(logn):
+        rev = rev | (((i >> b) & 1) << (logn - 1 - b))
     return rev
 
 
@@ -52,7 +57,7 @@ def fft(v, inverse: bool = False):
     if n == 1:
         return v
 
-    v = v[jnp.asarray(_bitrev(logn))]
+    v = v[_bitrev(logn)]
     w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
 
     size = 2
@@ -107,7 +112,7 @@ def _batch_fft(v, inverse: bool):
         if inverse:
             return v
         return v
-    v = v[:, jnp.asarray(_bitrev(logn))]
+    v = v[:, _bitrev(logn)]
     w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
     size = 2
     while size <= n:
@@ -139,21 +144,19 @@ def _batch_fft(v, inverse: bool):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
 def _four_step_twiddle(logn: int, logA: int, inverse: bool):
-    """w_N^(n2*k1) table [B, A] as a numpy array (host precompute, cached)."""
+    """w_N^(n2*k1) table [B, A, 2], computed ON DEVICE.
+
+    tw[n2, k1] = (w^n2)^k1, i.e. per-row power tables of the length-B
+    power vector — two log-depth doubling passes instead of an N-entry
+    host table embedded as a program constant (16 MB at N=2^20)."""
     N, A = 1 << logn, 1 << logA
     B = N >> logA
     w = F.root_of_unity(logn)
     if inverse:
         w = F.py_finv(w)
-    pw = np.zeros((N, 2), dtype=np.uint64)
-    cur = (1, 0)
-    for i in range(N):
-        pw[i] = cur
-        cur = F.py_fmul(cur, w)
-    exps = (np.arange(B)[:, None] * np.arange(A)[None, :]) % N
-    return pw[exps]                                 # [B, A, 2]
+    wB = poly.powers(jnp.asarray(np.array(w, dtype=np.uint64)), B)
+    return poly.powers_batch(wB, A)                 # [B, A, 2]
 
 
 @maybe_jit(static_argnums=(1, 2))
@@ -176,7 +179,7 @@ def fft_four_step(v, inverse: bool = False, logA: int | None = None):
     mat = v.reshape(A, B, 2)                        # x[n1*B + n2]
     cols = _batch_fft(meshmod.shard_leading(
         jnp.moveaxis(mat, 0, 1)), inverse)          # [B, A, 2] over n1
-    tw = jnp.asarray(_four_step_twiddle(logn, logA, inverse))
+    tw = _four_step_twiddle(logn, logA, inverse)
     T = F.fmul(cols, tw)                            # twiddle w_N^(n2*k1)
     rows = _batch_fft(meshmod.shard_leading(
         jnp.moveaxis(T, 0, 1)), inverse)            # [A, B, 2] over n2

@@ -473,50 +473,95 @@ _DEVICE_EVAL_CACHE_MAX = 16
 
 
 def _execute_device_jit(program: CircuitProgram, inputs) -> Trace:
+    from ..utils.closure import hoist_arrays
+
     key = id(program)
     hit = _DEVICE_EVAL_CACHE.get(key)
     if hit is None or hit[0] is not program:
-        def run(x):
-            return _execute_device(program, x)
+        # All program metadata rides in as ARGUMENTS (uploaded to device
+        # once, here), never as closure constants — see utils/closure.py.
+        z = np.zeros(0, np.int64)
+        slim = program._replace(
+            levels=(), acc_l=z, acc_r=z, final_count=z, final_perm=z,
+            die0_labels=z, slot_of_wire=z)
+        arrs, rebuild = hoist_arrays((slim, _flat_meta(program)))
+        arrs = [jnp.asarray(a) for a in arrs]
 
-        hit = (program, jax.jit(run))
+        @jax.jit
+        def run(x, arrs):
+            prog, flat = rebuild(arrs)
+            return _execute_device(prog, x, flat)
+
+        hit = (program, run, arrs)
         _DEVICE_EVAL_CACHE[key] = hit
         if len(_DEVICE_EVAL_CACHE) > _DEVICE_EVAL_CACHE_MAX:
             _DEVICE_EVAL_CACHE.pop(next(iter(_DEVICE_EVAL_CACHE)))
-    return hit[1](inputs)
+    return hit[1](inputs, hit[2])
 
 
-def _finals_from_label_vals(program: CircuitProgram, label_vals):
-    perm = jnp.asarray(program.final_perm)
-    return (perm, label_vals[perm],
-            jnp.asarray(program.final_count[program.final_perm]))
+class _FlatMeta(NamedTuple):
+    """Concatenated per-gate/per-wire program metadata (static per program).
+
+    Kept separate from ``CircuitProgram`` so the device-execute jit can take
+    it as an ARGUMENT: closing over these arrays would embed O(num_gates)
+    constants into the lowered program, which on the remote-attached
+    platform costs ~100 s per compile and re-traffics the constants every
+    call (see utils/closure.py)."""
+    types: np.ndarray      # [N] int32
+    idx_o: np.ndarray      # [N] int64
+    idx_l: np.ndarray
+    idx_r: np.ndarray
+    acc_l: np.ndarray
+    acc_r: np.ndarray
+    final_perm: np.ndarray  # [W]
+    final_cnt: np.ndarray   # [W] final_count in death order
+
+
+def _flat_meta(program: CircuitProgram) -> _FlatMeta:
+    z = np.zeros(0, np.int64)
+    cat = (lambda xs: np.concatenate(xs) if xs else z)
+    return _FlatMeta(
+        types=cat([l.types for l in program.levels]).astype(np.int32),
+        idx_o=cat([l.idx_o for l in program.levels]),
+        idx_l=cat([l.idx_l for l in program.levels]),
+        idx_r=cat([l.idx_r for l in program.levels]),
+        acc_l=program.acc_l, acc_r=program.acc_r,
+        final_perm=program.final_perm,
+        final_cnt=program.final_count[program.final_perm],
+    )
 
 
 def _execute_native(program: CircuitProgram, inputs, rt) -> Trace:
     x = np.ascontiguousarray(np.asarray(inputs, dtype=np.uint64))
     L, R, O = rt.eval_program(program, x)
-    idx_o = np.concatenate([l.idx_o for l in program.levels])
+    flat = _flat_meta(program)
     label_vals = np.zeros((program.num_wires, 2), dtype=np.uint64)
     label_vals[: program.num_inputs] = x
-    label_vals[idx_o] = O
-    types = np.concatenate([l.types for l in program.levels]).astype(np.int32)
-    idx_l = np.concatenate([l.idx_l for l in program.levels])
-    idx_r = np.concatenate([l.idx_r for l in program.levels])
+    label_vals[flat.idx_o] = O
     # ship the three value streams as ONE host->device transfer
     vals = jnp.asarray(np.stack([L, R, O]))
-    fin_idx, fin_val, fin_cnt = _finals_from_label_vals(
-        program, jnp.asarray(label_vals))
+    perm = jnp.asarray(flat.final_perm)
     return Trace(
-        types=jnp.asarray(types),
-        idx_o=jnp.asarray(idx_o), idx_l=jnp.asarray(idx_l),
-        idx_r=jnp.asarray(idx_r),
+        types=jnp.asarray(flat.types),
+        idx_o=jnp.asarray(flat.idx_o), idx_l=jnp.asarray(flat.idx_l),
+        idx_r=jnp.asarray(flat.idx_r),
         val_o=vals[2], val_l=vals[0], val_r=vals[1],
         acc_l=jnp.asarray(program.acc_l), acc_r=jnp.asarray(program.acc_r),
-        fin_idx=fin_idx, fin_val=fin_val, fin_cnt=fin_cnt,
+        fin_idx=perm, fin_val=jnp.asarray(label_vals[flat.final_perm]),
+        fin_cnt=jnp.asarray(flat.final_cnt),
     )
 
 
-def _execute_device(program: CircuitProgram, inputs) -> Trace:
+def _execute_device(program: CircuitProgram, inputs,
+                    flat: Optional[_FlatMeta] = None) -> Trace:
+    """Device evaluation of the whole program.
+
+    ``program``/``flat`` may carry tracers for their array leaves (the jit
+    path passes them as arguments via ``hoist_arrays``); every shape-bearing
+    field (num_slots, num_inputs, per-plan lengths) is a static Python int.
+    """
+    if flat is None:
+        flat = _flat_meta(program)
     mem = jnp.zeros((max(program.num_slots, 1), 2), dtype=jnp.uint64)
     label_vals = jnp.zeros((program.num_wires, 2), dtype=jnp.uint64)
     label_vals = label_vals.at[:program.num_inputs].set(inputs)
@@ -536,21 +581,17 @@ def _execute_device(program: CircuitProgram, inputs) -> Trace:
         vos.append(vo)
         label_vals = label_vals.at[jnp.asarray(plan.idx_o)].set(vo)
 
-    types = np.concatenate([l.types for l in program.levels]).astype(np.int32)
-    idx_o = np.concatenate([l.idx_o for l in program.levels])
-    idx_l = np.concatenate([l.idx_l for l in program.levels])
-    idx_r = np.concatenate([l.idx_r for l in program.levels])
-    fin_idx, fin_val, fin_cnt = _finals_from_label_vals(program, label_vals)
-
+    perm = jnp.asarray(flat.final_perm)
     return Trace(
-        types=jnp.asarray(types),
-        idx_o=jnp.asarray(idx_o), idx_l=jnp.asarray(idx_l),
-        idx_r=jnp.asarray(idx_r),
+        types=jnp.asarray(flat.types),
+        idx_o=jnp.asarray(flat.idx_o), idx_l=jnp.asarray(flat.idx_l),
+        idx_r=jnp.asarray(flat.idx_r),
         val_o=jnp.concatenate(vos, axis=0),
         val_l=jnp.concatenate(vls, axis=0),
         val_r=jnp.concatenate(vrs, axis=0),
-        acc_l=jnp.asarray(program.acc_l), acc_r=jnp.asarray(program.acc_r),
-        fin_idx=fin_idx, fin_val=fin_val, fin_cnt=fin_cnt,
+        acc_l=jnp.asarray(flat.acc_l), acc_r=jnp.asarray(flat.acc_r),
+        fin_idx=perm, fin_val=label_vals[perm],
+        fin_cnt=jnp.asarray(flat.final_cnt),
     )
 
 
