@@ -48,6 +48,34 @@ def _ninv(logn: int):
     return np.array(F.py_finv((1 << logn, 0)), dtype=np.uint64)
 
 
+def _fft_stages(v, logn: int, w):
+    """All log(n) butterfly stages as ONE ``lax.scan`` over the stage
+    index: per-position partner/twiddle indices are computed from iota
+    with traced shifts, so every stage is the same fixed-shape graph.
+    Bit-identical to the unrolled block loop (same twiddle convention),
+    but one XLA While instead of log(n) inlined stages — the remote TPU
+    compile service charges seconds per inlined stage."""
+    import jax
+
+    b, n = v.shape[0], v.shape[1]
+    i = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(v, s):
+        half = jnp.left_shift(jnp.int32(1), s - 1)
+        partner = i ^ half
+        pv = v[:, partner]
+        is_hi = ((i & half) > 0)[None, :, None]
+        k = (i & (half - 1)).astype(jnp.int32)
+        tw = w[k * (n >> s).astype(jnp.int32)]      # w^(k * n/size)
+        u = jnp.where(is_hi, pv, v)                 # low element of the pair
+        h = jnp.where(is_hi, v, pv)                 # high element
+        tv = F.fmul(tw[None], h)
+        return jnp.where(is_hi, F.fsub(u, tv), F.fadd(u, tv)), None
+
+    v, _ = jax.lax.scan(stage, v, jnp.arange(1, logn + 1, dtype=jnp.int32))
+    return v
+
+
 @maybe_jit(static_argnums=(1,))
 def fft(v, inverse: bool = False):
     """In-order FFT of v [n, 2] (n a power of two); returns [n, 2]."""
@@ -59,16 +87,7 @@ def fft(v, inverse: bool = False):
 
     v = v[_bitrev(logn)]
     w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
-
-    size = 2
-    while size <= n:
-        half = size // 2
-        blocks = v.reshape(n // size, size, 2)
-        u, t = blocks[:, :half], blocks[:, half:]
-        tw = w[:: n // size][:half]
-        tv = F.fmul(t, tw[None, :, :])
-        v = jnp.concatenate([F.fadd(u, tv), F.fsub(u, tv)], axis=1).reshape(n, 2)
-        size <<= 1
+    v = _fft_stages(v[None], logn, w)[0]
 
     if inverse:
         v = F.fmul(v, jnp.asarray(_ninv(logn))[None, :])
@@ -104,25 +123,15 @@ def _rs_extend_batch(rows, rate: int):
 
 
 def _batch_fft(v, inverse: bool):
-    """FFT over axis 1 of [b, n, 2] (same stage loop, batched)."""
+    """FFT over axis 1 of [b, n, 2] (scanned stages, batched)."""
     b, n = v.shape[0], v.shape[1]
     logn = int(np.log2(n))
     assert (1 << logn) == n
     if n == 1:
-        if inverse:
-            return v
         return v
     v = v[:, _bitrev(logn)]
     w = poly.powers(jnp.asarray(_w1(logn, inverse)), n)
-    size = 2
-    while size <= n:
-        half = size // 2
-        blocks = v.reshape(b, n // size, size, 2)
-        u, t = blocks[:, :, :half], blocks[:, :, half:]
-        tw = w[:: n // size][:half]
-        tv = F.fmul(t, tw[None, None, :, :])
-        v = jnp.concatenate([F.fadd(u, tv), F.fsub(u, tv)], axis=2).reshape(b, n, 2)
-        size <<= 1
+    v = _fft_stages(v, logn, w)
     if inverse:
         v = F.fmul(v, jnp.asarray(_ninv(logn))[None, None, :])
     return v

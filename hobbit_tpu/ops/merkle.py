@@ -215,17 +215,34 @@ class BatchMerkleTree(NamedTuple):
 
 
 def batch_build_from_digests(leaves, backend: str = "blake3"):
-    """leaves [I, n, 8] -> BatchMerkleTree (n a power of two)."""
+    """leaves [I, n, 8] -> BatchMerkleTree (n a power of two).
+
+    All levels are built by ONE ``lax.scan`` over a fixed-width digest
+    buffer whose valid prefix halves per step (positions past the prefix
+    hash garbage and are sliced away).  An unrolled level loop lowers to
+    one hash-kernel While per level, and the remote TPU compile service
+    charges seconds per While — inside the jitted opening programs this
+    tree build was a dominant compile cost.  Hash work grows from O(n)
+    to O(n log n / 2), which is noise at protocol sizes."""
+    import jax
+
     I, n = leaves.shape[0], leaves.shape[1]
     assert n & (n - 1) == 0
+    if n == 1:
+        return BatchMerkleTree(levels=(leaves,))
     _, pairs = _BACKENDS[backend]
-    levels = [leaves]
-    cur = leaves
-    while cur.shape[1] > 1:
+    D = int(np.log2(n))
+
+    def body(cur, _):
         a = cur[:, 0::2].reshape(-1, 8)
         b = cur[:, 1::2].reshape(-1, 8)
-        cur = pairs(a, b).reshape(I, cur.shape[1] // 2, 8)
-        levels.append(cur)
+        nxt = pairs(a, b).reshape(I, n // 2, 8)
+        cur2 = jnp.concatenate(
+            [nxt, jnp.zeros((I, n - n // 2, 8), dtype=nxt.dtype)], axis=1)
+        return cur2, nxt
+
+    _, ys = jax.lax.scan(body, leaves, None, length=D)
+    levels = [leaves] + [ys[j][:, : n >> (j + 1)] for j in range(D)]
     return BatchMerkleTree(levels=tuple(levels))
 
 

@@ -105,63 +105,83 @@ def fresh_state(seed: int = 0):
 
 
 @jax.jit
-def _absorb_small(state, values):
-    # n <= 32: unrolled chain — one cached compile per small length
-    for i in range(values.shape[0]):
-        state = mimc_hash(state, values[i])
-    return state
+def _absorb_chain(state, values):
+    """Absorb a [n, 2] vector as ONE flattened scan over n*161 MiMC steps.
 
+    A nested formulation (scan over n of mimc_hash's inner 161-round
+    scan) lowers to one While per element when the outer loop is
+    unrolled, and each While costs seconds of TPU backend compile on the
+    remote service — protocol programs contain dozens of absorbs, which
+    made While count the dominant compile cost.  The flattened chain is
+    exactly the same arithmetic (round j of element i at step i*161+j),
+    so transcripts are unchanged."""
+    n = values.shape[0]
+    # per-step round constant (C[i-1] for rounds 1..160, 0 for round 0)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.uint64), jnp.asarray(_COMMON)], axis=0)
+    cs = jnp.tile(cs, (n, 1))                       # [n*161, 2]
+    ks = jnp.repeat(values, ROUNDS, axis=0)         # [n*161, 2] key = v_i
+    step_i = jnp.arange(n * ROUNDS, dtype=jnp.int32)
+    first = (step_i % ROUNDS) == 0
+    last = (step_i % ROUNDS) == (ROUNDS - 1)
 
-@jax.jit
-def _absorb_scan(state, values):
-    def step(s, v):
-        return mimc_hash(s, v), None
+    def step(carry, xs):
+        h, out = carry
+        k, c, fst, lst = xs
+        x = jnp.where(fst, out, h)
+        h2 = _cube(F.fadd(F.fadd(x, k), c))
+        out2 = jnp.where(lst, F.fadd(h2, k), out)
+        return (h2, out2), None
 
-    state, _ = jax.lax.scan(step, state, values)
+    (_, state), _ = jax.lax.scan(
+        step, (jnp.zeros_like(state), state), (ks, cs, first, last))
     return state
 
 
 def absorb(state, values):
     """Absorb field elements; values shaped [..., 2] (flattened in order).
 
-    Small absorbs use an unrolled jitted chain (<=32 cached shapes total
-    across all call sites); large ones use the scan.  Same transcript
-    either way."""
+    One compiled kernel (a single flattened XLA While) per length."""
     values = values.reshape(-1, 2)
     if values.shape[0] == 0:
         return state
-    if values.shape[0] <= 32:
-        return _absorb_small(state, values)
-    return _absorb_scan(state, values)
+    return _absorb_chain(state, values)
 
 
 import functools
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def _squeeze_small(state, n: int):
+def _squeeze_chain(state, n: int):
+    """n sequential challenges as ONE flattened n*161-step scan (see
+    ``_absorb_chain`` for why: one XLA While instead of n)."""
     k = F.scalar(K_MIMC)
-    rs = []
-    for _ in range(n):
-        state = mimc_hash(state, k)
-        rs.append(state)
-    return state, jnp.stack(rs)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.uint64), jnp.asarray(_COMMON)], axis=0)
+    cs = jnp.tile(cs, (n, 1))
+    step_i = jnp.arange(n * ROUNDS, dtype=jnp.int32)
+    first = (step_i % ROUNDS) == 0
+    last = (step_i % ROUNDS) == (ROUNDS - 1)
+
+    def step(carry, xs):
+        h, out = carry
+        c, fst, lst = xs
+        x = jnp.where(fst, out, h)
+        h2 = _cube(F.fadd(F.fadd(x, k), c))
+        out2 = jnp.where(lst, F.fadd(h2, k), out)
+        return (h2, out2), jnp.where(lst, out2, 0)
+
+    (_, state), ys = jax.lax.scan(
+        step, (jnp.zeros_like(state), state), (cs, first, last))
+    rs = ys.reshape(n, ROUNDS, 2)[:, ROUNDS - 1]
+    return state, rs
 
 
 def squeeze(state, n: int = 1):
     """Derive n challenges; returns (new_state, [n, 2] challenges)."""
     if n == 0:
         return state, jnp.zeros((0, 2), dtype=jnp.uint64)
-    if n <= 32:
-        return _squeeze_small(state, n)
-    k = F.scalar(K_MIMC)
-
-    def step(s, _):
-        s = mimc_hash(s, k)
-        return s, s
-
-    state, rs = jax.lax.scan(step, state, None, length=n)
-    return state, rs
+    return _squeeze_chain(state, n)
 
 
 def squeeze1(state):
