@@ -206,28 +206,30 @@ def verify_product_sumcheck(proof: SumcheckProof, claim, state, degree: int = 0)
 
     final_claim must then be checked against openings of the input MLEs at
     final_point by the caller (reference verifier.cpp:11-213 semantics).
-    """
+    The round replay is one ``lax.scan`` over the proof's round polys
+    (an unrolled replay costs ~minutes of TPU AOT compile per shape)."""
     rounds = proof.polys.shape[0]
-    ok = jnp.array(True)
     zero, one = F.scalar(0), F.scalar(1)
-    cur = claim
-    chals = []
-    for i in range(rounds):
-        coeffs = proof.polys[i]
+
+    def body(carry, coeffs):
+        ok, cur, state = carry
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
         state = mimc.absorb(state, coeffs)
         state, r = mimc.squeeze1(state)
-        chals.append(r)
         cur = poly.univariate_eval(coeffs[::-1], r)
+        return (ok, cur, state), r
+
+    (ok, cur, state), pts = jax.lax.scan(
+        body, (jnp.array(True), claim, state), proof.polys)
+    if rounds == 0:
+        pts = jnp.zeros((0, 2), dtype=jnp.uint64)
     state = mimc.absorb(state, proof.final_evals)
     prod = proof.final_evals[0]
     for j in range(1, proof.final_evals.shape[0]):
         prod = F.fmul(prod, proof.final_evals[j])
     ok = jnp.logical_and(ok, F.feq(prod, cur))
-    pts = (jnp.stack(chals) if chals
-           else jnp.zeros((0, 2), dtype=jnp.uint64))
     return ok, pts, cur, state
 
 
@@ -309,19 +311,20 @@ def verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
 def _verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
                            lengths, state):
     rounds = proof.polys.shape[0]
-    ok = jnp.array(True)
     zero, one = F.scalar(0), F.scalar(1)
-    cur = claim
-    chals = []
-    for i in range(rounds):
-        coeffs = proof.polys[i]
+
+    def body(carry, coeffs):
+        ok, cur, state = carry
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
         state = mimc.absorb(state, coeffs)
         state, r = mimc.squeeze1(state)
-        chals.append(r)
         cur = poly.univariate_eval(coeffs[::-1], r)
+        return (ok, cur, state), r
+
+    (ok, cur, state), chals = jax.lax.scan(
+        body, (jnp.array(True), claim, state), proof.polys)
     state = mimc.absorb(state, proof.final_evals)
     # final combined value: sum_j w_j * scale_j * prod(final_j)
     # where scale_j = prod over rounds after exhaustion of (1-r)^3 is already
@@ -337,7 +340,7 @@ def _verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
         t = F.fmul(weights[j], prod)
         total = t if total is None else F.fadd(total, t)
     ok = jnp.logical_and(ok, F.feq(total, cur))
-    pts = (jnp.stack(chals) if chals
+    pts = (chals if rounds
            else jnp.zeros((0, 2), dtype=jnp.uint64))
     return ok, pts, state
 
@@ -431,19 +434,22 @@ def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
     dominated verifier wall-clock on remote-attached chips."""
     names = sorted(proof.final_evals.keys())
     rounds = proof.polys.shape[0]
-    ok = jnp.array(True)
     zero, one = F.scalar(0), F.scalar(1)
-    cur = claim
-    chals = []
-    for i in range(rounds):
-        coeffs = proof.polys[i]
+
+    def body(carry, coeffs):
+        ok, cur, state = carry
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
         state = mimc.absorb(state, coeffs)
         state, r = mimc.squeeze1(state)
-        chals.append(r)
         cur = poly.univariate_eval(coeffs[::-1], r)
+        return (ok, cur, state), r
+
+    (ok, cur, state), pts = jax.lax.scan(
+        body, (jnp.array(True), claim, state), proof.polys)
+    if rounds == 0:
+        pts = jnp.zeros((0, 2), dtype=jnp.uint64)
     state = mimc.absorb(state,
                         jnp.stack([proof.final_evals[a] for a in names]))
     total = None
@@ -454,8 +460,6 @@ def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
         t = F.fmul(weights[gi], prod)
         total = t if total is None else F.fadd(total, t)
     ok = jnp.logical_and(ok, F.feq(total, cur))
-    pts = (jnp.stack(chals) if chals
-           else jnp.zeros((0, 2), dtype=jnp.uint64))
     return ok, pts, state
 
 

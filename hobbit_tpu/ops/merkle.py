@@ -58,6 +58,9 @@ _BACKENDS = {
 class MerkleTree(NamedTuple):
     levels: tuple       # levels[0] = [n, 8] leaf digests, ..., [-1] = [1, 8]
     backend: str = "blake3"
+    # padded level stack [D, n, 8] (level j valid in prefix n >> j); lets
+    # path opens lower to ONE scanned gather instead of one per level
+    stack: object = None
 
     @property
     def root(self):
@@ -88,7 +91,13 @@ def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
     while cur.shape[0] > 1:
         cur = pairs(cur[0::2], cur[1::2])
         levels.append(cur)
-    return MerkleTree(levels=tuple(levels), backend=backend)
+    if n > 1:
+        stack = jnp.stack([jnp.concatenate(
+            [lvl, jnp.zeros((n - lvl.shape[0], 8), dtype=lvl.dtype)])
+            for lvl in levels[:-1]])
+    else:
+        stack = None
+    return MerkleTree(levels=tuple(levels), backend=backend, stack=stack)
 
 
 def commit_fields(values, backend: str = "blake3") -> MerkleTree:
@@ -140,6 +149,17 @@ def _open_leaves_kernel(levels, idx):
     return jnp.stack(rows, axis=1)
 
 
+def _open_stack(stack, idx):
+    """Scanned sibling gather over the padded stack [D, n, 8]."""
+    import jax
+
+    def body(pos, level):
+        return pos // 2, level[pos ^ 1]
+
+    _, sibs = jax.lax.scan(body, idx, stack)    # [D, q, 8]
+    return jnp.moveaxis(sibs, 0, 1)             # [q, D, 8]
+
+
 def open_leaves(tree: MerkleTree, indices):
     """Batch open: [q, depth, 8].  ALL levels gathered on device in one
     compiled call — only the [q, depth, 8] result ever crosses the link
@@ -152,6 +172,8 @@ def open_leaves(tree: MerkleTree, indices):
         idx = jnp.asarray(indices, dtype=jnp.int64)
     if not tree.levels[:-1]:
         return jnp.zeros((idx.shape[0], 0, 8), dtype=jnp.uint32)
+    if tree.stack is not None:
+        return _open_stack(tree.stack, idx)
     return _open_leaves_kernel(tuple(tree.levels[:-1]), idx)
 
 
@@ -174,16 +196,20 @@ def verify_leaves_device(root, leaf_digests, indices, paths,
     """Batched membership check returning a DEVICE boolean: digests
     [q, 8], indices a device/host int array, paths [q, depth, 8].
     Jit-composable (no host sync)."""
+    import jax
+
     _, pairs = _BACKENDS[backend]
-    cur = leaf_digests
-    pos = jnp.asarray(indices, dtype=jnp.int64)
-    for d in range(paths.shape[1]):
-        sib = paths[:, d]
+
+    def body(carry, sib):
+        cur, pos = carry
         odd = (pos & 1).astype(bool)[:, None]
         left = jnp.where(odd, sib, cur)
         right = jnp.where(odd, cur, sib)
-        cur = pairs(left, right)
-        pos = pos // 2
+        return (pairs(left, right), pos // 2), None
+
+    (cur, _), _ = jax.lax.scan(
+        body, (leaf_digests, jnp.asarray(indices, dtype=jnp.int64)),
+        jnp.moveaxis(paths, 1, 0))
     return jnp.all(cur == root[None, :])
 
 
@@ -208,6 +234,10 @@ def verify_leaves_batch(root, leaf_digests, indices, paths,
 
 class BatchMerkleTree(NamedTuple):
     levels: tuple       # levels[0] = [I, n, 8], ..., [-1] = [I, 1, 8]
+    # padded level stack [D, I, n, 8] (level j valid in prefix n >> j);
+    # lets path opens run as ONE scanned gather instead of one gather op
+    # per level (compile cost on the TPU AOT service is per-op)
+    stack: object = None
 
     @property
     def roots(self):
@@ -239,11 +269,13 @@ def batch_build_from_digests(leaves, backend: str = "blake3"):
         nxt = pairs(a, b).reshape(I, n // 2, 8)
         cur2 = jnp.concatenate(
             [nxt, jnp.zeros((I, n - n // 2, 8), dtype=nxt.dtype)], axis=1)
-        return cur2, nxt
+        return cur2, cur2
 
     _, ys = jax.lax.scan(body, leaves, None, length=D)
     levels = [leaves] + [ys[j][:, : n >> (j + 1)] for j in range(D)]
-    return BatchMerkleTree(levels=tuple(levels))
+    stack = jnp.concatenate([leaves[None], ys[:-1]], axis=0) if D > 1 \
+        else leaves[None]
+    return BatchMerkleTree(levels=tuple(levels), stack=stack)
 
 
 def batch_commit_fields(values, backend: str = "blake3"):
@@ -266,29 +298,50 @@ def _batch_open_kernel(levels, idx):
     return jnp.stack(rows, axis=2)              # [I, q, depth, 8]
 
 
+def _batch_open_stack(stack, idx):
+    """Scanned sibling gather over the padded level stack: one gather op
+    in the lowered program instead of one per level."""
+    import jax
+
+    def body(pos, level):
+        sib = jnp.take_along_axis(level, (pos ^ 1)[:, :, None], axis=1)
+        return pos // 2, sib
+
+    _, sibs = jax.lax.scan(body, idx, stack)    # [D, I, q, 8]
+    return jnp.moveaxis(sibs, 0, 2)             # [I, q, D, 8]
+
+
 def batch_open_leaves(tree: BatchMerkleTree, idx):
     """idx [I, q] int array -> [I, q, depth, 8] sibling paths."""
     idx = jnp.asarray(idx, dtype=jnp.int64)
     if not tree.levels[:-1]:
         I, q = idx.shape
         return jnp.zeros((I, q, 0, 8), dtype=jnp.uint32)
+    if tree.stack is not None:
+        return _batch_open_stack(tree.stack, idx)
     return _batch_open_kernel(tuple(tree.levels[:-1]), idx)
 
 
 def batch_verify_leaves(roots, leaf_digests, idx, paths,
                         backend: str = "blake3"):
     """roots [I, 8]; digests [I, q, 8]; idx [I, q]; paths [I, q, d, 8]."""
+    import jax
+
     _, pairs = _BACKENDS[backend]
     I, q = leaf_digests.shape[0], leaf_digests.shape[1]
-    cur = leaf_digests.reshape(I * q, 8)
-    pos = jnp.asarray(idx, dtype=jnp.int64).reshape(I * q)
-    for d in range(paths.shape[2]):
-        sib = paths[:, :, d].reshape(I * q, 8)
+
+    def body(carry, sib):
+        cur, pos = carry
         odd = (pos & 1).astype(bool)[:, None]
         left = jnp.where(odd, sib, cur)
         right = jnp.where(odd, cur, sib)
-        cur = pairs(left, right)
-        pos = pos // 2
+        return (pairs(left, right), pos // 2), None
+
+    (cur, _), _ = jax.lax.scan(
+        body,
+        (leaf_digests.reshape(I * q, 8),
+         jnp.asarray(idx, dtype=jnp.int64).reshape(I * q)),
+        jnp.moveaxis(paths.reshape(I * q, -1, 8), 1, 0))
     want = jnp.broadcast_to(roots[:, None, :], (I, q, 8)).reshape(I * q, 8)
     return jnp.all(cur == want)
 

@@ -170,20 +170,38 @@ def eval_quartic(c, x):
 
 
 @maybe_jit
+def to_coefficient_form_batch(v):
+    """Moebius transform over the last-but-one axis, batched: [..., n, 2].
+
+    One scanned butterfly stage (traced stride from iota bit tests)
+    instead of k unrolled stages — see utils/closure.py for why lowered
+    op count is the compile-cost currency on this platform."""
+    import jax
+
+    n = v.shape[-2]
+    k = int(np.log2(n))
+    if k == 0:
+        return v
+    i = jnp.arange(n, dtype=jnp.int32)
+
+    def stage(v, j):
+        stride = jnp.left_shift(jnp.int32(1), j)
+        hi = (i & stride) > 0
+        pv = jnp.take(v, i ^ stride, axis=-2)
+        return jnp.where(hi[:, None], F.fsub(v, pv), v), None
+
+    v, _ = jax.lax.scan(stage, v, jnp.arange(k, dtype=jnp.int32))
+    return v
+
+
+@maybe_jit
 def to_coefficient_form(v):
     """Multilinear evaluations -> multilinear coefficients (Moebius).
 
     After this, v(r) = sum_S c_S prod_{j in S} r_j.  Inverse of evaluating
     on the boolean hypercube; bit j of the index corresponds to r[j].
     """
-    n = v.shape[0]
-    k = int(np.log2(n))
-    for j in range(k):
-        stride = 1 << j
-        vv = v.reshape(-1, 2 * stride, 2)
-        lo, hi = vv[:, :stride], vv[:, stride:]
-        v = jnp.concatenate([lo, F.fsub(hi, lo)], axis=1).reshape(-1, 2)
-    return v
+    return to_coefficient_form_batch(v)
 
 
 @maybe_jit

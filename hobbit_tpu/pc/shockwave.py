@@ -73,26 +73,50 @@ def _weighted_indicator(idx, s, domain: int):
 
 def _column_roots(encoded):
     """Mini-MT root per column: [2*cols, 8].  Column = k values -> k/4 leaf
-    digests -> tree root (vectorized across all columns at once)."""
+    digests -> tree root (vectorized across all columns at once; the level
+    loop is ONE masked scan — see merkle.batch_build_from_digests)."""
+    import jax
+
     k, cols2 = encoded.shape[0], encoded.shape[1]
     cols_vals = jnp.moveaxis(encoded, 0, 1)        # [2c, k, 2]
     assert k % 4 == 0
     leaves = blake3.hash_field_leaves(
         cols_vals.reshape(cols2, k // 4, 4, 2))    # [2c, k/4, 8]
-    cur = leaves
-    while cur.shape[1] > 1:
-        cur = blake3.hash_pairs(cur[:, 0::2], cur[:, 1::2])
+    m = k // 4
+    if m == 1:
+        return leaves[:, 0]
+    D = int(np.log2(m))
+
+    def body(cur, _):
+        nxt = blake3.hash_pairs(cur[:, 0::2], cur[:, 1::2])
+        return jnp.concatenate(
+            [nxt, jnp.zeros((cols2, m - m // 2, 8), dtype=cur.dtype)],
+            axis=1), None
+
+    cur, _ = jax.lax.scan(body, leaves, None, length=D)
     return cur[:, 0]                               # [2c, 8]
+
+
+@maybe_jit(static_argnums=(1,))
+def _commit_impl(message, k: int):
+    """Whole commit (RS encode + column roots + outer tree) as ONE
+    compiled program — scanned builders keep the graph small."""
+    N = message.shape[0]
+    mat = message.reshape(k, N // k, 2)
+    encoded = enc.rs_encode(mat)                   # [k, 2*cols, 2]
+    roots = _column_roots(encoded)
+    bt = merkle.batch_build_from_digests(roots[None])
+    levels = tuple(l[0] for l in bt.levels)
+    stack = None if bt.stack is None else bt.stack[:, 0]
+    return mat, encoded, levels, stack
 
 
 def commit(message, k: int = 32) -> ShockwaveData:
     """message [N, 2], N divisible by k; k divisible by 4."""
     N = message.shape[0]
     assert N % k == 0
-    mat = message.reshape(k, N // k, 2)
-    encoded = enc.rs_encode(mat)                   # [k, 2*cols, 2]
-    roots = _column_roots(encoded)
-    outer = merkle.build_from_digests(roots)
+    mat, encoded, levels, stack = _commit_impl(message, k)
+    outer = merkle.MerkleTree(levels=levels, backend="blake3", stack=stack)
     return ShockwaveData(matrix=mat, encoded=encoded, col_trees=(),
                          outer=outer, k=k, N=N)
 
@@ -103,13 +127,13 @@ def open(data: ShockwaveData, x, state, queries: int = QUERIES):
     The whole opening (aggregation, query expansion, path gathers,
     indicator + FFT sumchecks, inner WHIR folding) is ONE compiled
     program per shape; nothing crosses the device link mid-proof."""
-    return _open_impl(data.matrix, data.encoded, tuple(data.outer.levels),
+    return _open_impl(data.matrix, data.encoded, data.outer.stack,
                       jnp.asarray(x, dtype=jnp.uint64), state, queries,
                       data.k, data.N)
 
 
 @maybe_jit(static_argnums=(5, 6, 7))
-def _open_impl(matrix, encoded, olevels, x, state, queries: int, k: int,
+def _open_impl(matrix, encoded, ostack, x, state, queries: int, k: int,
                N: int):
     cols = N // k
     lc = int(np.log2(cols))
@@ -126,8 +150,8 @@ def _open_impl(matrix, encoded, olevels, x, state, queries: int, k: int,
 
     cols_vals = jnp.moveaxis(encoded, 0, 1)        # [2c, k, 2]
     reply = cols_vals[idx]                         # [q, k, 2]
-    if len(olevels) > 1:
-        paths = merkle._open_leaves_kernel(tuple(olevels[:-1]), idx)
+    if ostack is not None:
+        paths = merkle._open_stack(ostack, idx)
     else:
         paths = jnp.zeros((queries, 0, 8), dtype=jnp.uint32)
 
@@ -213,38 +237,34 @@ def open_multi(data: ShockwaveData, points, state, queries: int = QUERIES):
     full multi-open (merge + inner open) is one compiled program."""
     pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64) for x in points])
     return _open_multi_impl(data.matrix, data.encoded,
-                            tuple(data.outer.levels), pts, state, queries,
+                            data.outer.stack, pts, state, queries,
                             data.k, data.N)
 
 
 @maybe_jit(static_argnums=(5, 6, 7))
-def _open_multi_impl(matrix, encoded, olevels, pts, state, queries: int,
+def _open_multi_impl(matrix, encoded, ostack, pts, state, queries: int,
                      k: int, N: int):
+    import jax
+
     cols = N // k
     lc = int(np.log2(cols))
     P = pts.shape[0]
-    claims = []
-    blos, bhis = [], []
-    for j in range(P):
-        x_lo, x_hi = pts[j, :lc], pts[j, lc:]
-        blo, bhi = poly.beta_table(x_lo), poly.beta_table(x_hi)
-        blos.append(blo)
-        bhis.append(bhi)
-        aggr = F.fsum(F.fmul(bhi[:, None, :], matrix), axis=0)
-        claims.append(F.fsum(F.fmul(aggr, blo), axis=0))
-    eval_claims = jnp.stack(claims)
+    # batched beta tables / claims: ONE vectorized instantiation instead
+    # of P unrolled copies (compile cost is per lowered op, not per lane)
+    blos = jax.vmap(poly.beta_table)(pts[:, :lc])          # [P, cols, 2]
+    bhis = jax.vmap(poly.beta_table)(pts[:, lc:])          # [P, k, 2]
+    aggrs = F.fsum(F.fmul(bhis[:, :, None, :], matrix[None]),
+                   axis=1)                                 # [P, cols, 2]
+    eval_claims = F.fsum(F.fmul(aggrs, blos), axis=1)      # [P, 2]
     state = mimc.absorb(state, eval_claims)
 
     state, d = mimc.squeeze1(state)
     deltas = poly.powers(d, P)
-    W = None
-    for j in range(P):
-        wj = F.fmul(F.fmul(deltas[j], bhis[j])[:, None, :],
-                    blos[j][None, :, :])                   # [k, cols, 2]
-        W = wj if W is None else F.fadd(W, wj)
+    W = F.fsum(F.fmul(F.fmul(deltas[:, None, :], bhis)[:, :, None, :],
+                      blos[:, None, :, :]), axis=0)        # [k, cols, 2]
     p0, state = sc.prove_2product(matrix.reshape(N, 2),
                                   W.reshape(N, 2), state)
-    inner, state = _open_impl(matrix, encoded, olevels, p0.challenges,
+    inner, state = _open_impl(matrix, encoded, ostack, p0.challenges,
                               state, queries, k, N)
     return ShockwaveMultiOpening(eval_claims=eval_claims, p0=p0,
                                  inner=inner), state

@@ -384,20 +384,15 @@ class WhirBatchProof(NamedTuple):
     n: int
 
 
-@functools.lru_cache(maxsize=None)
 def _pow_table_full(logm: int, inverse: bool = True):
-    """Full [m, 2] power table of (the inverse of) the order-2^logm root
-    (host-precomputed once per size, indexed on device)."""
-    m = 1 << logm
+    """Full [m, 2] power table of (the inverse of) the order-2^logm root,
+    computed ON DEVICE by log-depth doubling: a host table would embed an
+    m-entry constant into the lowered program, which the TPU AOT compile
+    path serializes at ~1 s/MB (see utils/closure.py)."""
     w = F.root_of_unity(logm)
     if inverse:
         w = F.py_finv(w)
-    out = np.zeros((m, 2), dtype=np.uint64)
-    cur = (1, 0)
-    for i in range(m):
-        out[i] = cur
-        cur = F.py_fmul(cur, w)
-    return out
+    return poly.powers(jnp.asarray(np.array(w, dtype=np.uint64)), 1 << logm)
 
 
 def _inter_index_dev(p, m: int, groups: int = 1 << K_FOLD):
@@ -508,16 +503,15 @@ def _batch_ood_point(zeta, zdims: int):
 
 @maybe_jit(static_argnums=(4,))
 def _prove_batch_impl(values, xs, gammas, state, queries: int):
+    import jax
+
     I, n = values.shape[0], values.shape[1]
-    beta = None
-    for j in range(xs.shape[1]):
-        bj = jnp.stack([poly.beta_table(xs[i, j]) for i in range(I)])
-        bj = F.fmul(gammas[:, j][:, None, :], bj)
-        beta = bj if beta is None else F.fadd(beta, bj)
+    # [I, M, n, 2] beta tables in ONE vectorized instantiation
+    ball = jax.vmap(jax.vmap(poly.beta_table))(xs)
+    beta = F.fsum(F.fmul(gammas[:, :, None, :], ball), axis=1)
     ys = F.fsum(F.fmul(values, beta), axis=1)
 
-    coeffs = jnp.stack([poly.to_coefficient_form(values[i])
-                        for i in range(I)])
+    coeffs = poly.to_coefficient_form_batch(values)
     cur_inter, cur_tree = _batch_encode(coeffs)
     domain_log = int(np.log2(2 * n))
 
@@ -526,8 +520,15 @@ def _prove_batch_impl(values, xs, gammas, state, queries: int):
     sc_polys = []
     levels: List[WhirBatchLevel] = []
     while v.shape[1] > FINAL_SIZE:
-        chals = []
-        for _ in range(K_FOLD):
+        # K_FOLD sumcheck rounds as ONE masked scan: arrays keep their
+        # level-entry width with a zero-filled tail (zeros self-mask in
+        # every coefficient sum and fold), so the round body lowers once
+        # instead of K_FOLD times — compile cost on the TPU AOT service
+        # is per lowered op.  Transcripts identical to the unrolled form.
+        import jax
+
+        def round_body(carry, _):
+            v, b, coeffs, subs = carry
             a1, b1 = F.fsub(v[:, 1::2], v[:, 0::2]), v[:, 0::2]
             a2, b2 = F.fsub(b[:, 1::2], b[:, 0::2]), b[:, 0::2]
             cA = F.fsum(F.fmul(a1, a2), axis=1)
@@ -538,14 +539,21 @@ def _prove_batch_impl(values, xs, gammas, state, queries: int):
             subs = _babsorb(subs, coeffs3)
             subs, r = _bsqueeze(subs)
             rb = r[:, None, :]
-            v = F.fadd(v[:, 0::2], F.fmul(rb, F.fsub(v[:, 1::2],
-                                                     v[:, 0::2])))
-            b = F.fadd(b[:, 0::2], F.fmul(rb, F.fsub(b[:, 1::2],
-                                                     b[:, 0::2])))
-            ce = coeffs.reshape(I, coeffs.shape[1] // 2, 2, 2)
-            coeffs = F.fadd(ce[:, :, 0], F.fmul(rb, ce[:, :, 1]))
-            sc_polys.append(coeffs3)
-            chals.append(r)
+            v2 = F.fadd(b1, F.fmul(rb, a1))
+            b2f = F.fadd(b2, F.fmul(rb, a2))
+            ce = coeffs.reshape(coeffs.shape[0], coeffs.shape[1] // 2, 2, 2)
+            c2 = F.fadd(ce[:, :, 0], F.fmul(rb[:, :, :], ce[:, :, 1]))
+            v = jnp.concatenate([v2, jnp.zeros_like(v2)], axis=1)
+            b = jnp.concatenate([b2f, jnp.zeros_like(b2f)], axis=1)
+            coeffs = jnp.concatenate([c2, jnp.zeros_like(c2)], axis=1)
+            return (v, b, coeffs, subs), (coeffs3, r)
+
+        (v, b, coeffs, subs), (c3s, rs) = jax.lax.scan(
+            round_body, (v, b, coeffs, subs), None, length=K_FOLD)
+        m2 = v.shape[1] >> K_FOLD
+        v, b = v[:, :m2], b[:, :m2]
+        coeffs = coeffs[:, : coeffs.shape[1] >> K_FOLD]
+        sc_polys.extend(list(c3s))                 # [K_FOLD] x [I, 3, 2]
 
         next_inter, next_tree = _batch_encode(coeffs)
         subs = _babsorb(
@@ -604,7 +612,7 @@ def _batch_coset_fold(cosets, chals, positions, domain_log: int):
     cur_m = m
     for i in range(K_FOLD):
         half = vals.shape[2] // 2
-        table = jnp.asarray(_pow_table_full(int(np.log2(cur_m))))
+        table = _pow_table_full(int(np.log2(cur_m)))
         exps = (pos[:, :, None]
                 + jnp.arange(half, dtype=jnp.int64)[None, None, :] * stride)
         inv_y = table[exps % cur_m]                 # [I, q, half, 2]
