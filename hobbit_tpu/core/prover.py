@@ -327,13 +327,15 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     # ---- 5. openings -----------------------------------------------------
     t0 = time.time()
     pts = _opening_points(gc_proof, p_w, p_l, g, lookup_mode)
+    v_min, sw_pad = _unified_open_shape(g, config, pc_rows, lookup_mode)
+    uni = dict(v_min_len=v_min, sw_pad=sw_pad)
     w_open, state = _open_multi(
         w_chunks if not streaming else _seq_chunks(w_chunks_gen, w_params.K),
         w_com, pts["w"], state, config, full=wpoly_full,
-        spec=_W_LANE_SPEC, lane_bits=2)
+        spec=_W_LANE_SPEC, lane_bits=2, **uni)
     f_open, state = _open_multi(
         _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
-        config, full=fpoly_full)
+        config, full=fpoly_full, **uni)
 
     c_params = _pc_params(16 * g.np2, config, pc_rows)
     c_gates = c_params.B // 16
@@ -345,7 +347,8 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
                                         (i + 1) * c_gates)
     c_open, state = _open_multi(c_chunks, circuit_com, pts["c"], state,
                                 config, full=cpoly_full,
-                                spec=_c_lane_spec(lookup_mode), lane_bits=4)
+                                spec=_c_lane_spec(lookup_mode), lane_bits=4,
+                                **uni)
     l_open = t_open = None
     if lookup_mode:
         rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
@@ -362,10 +365,10 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
                 yield jnp.zeros((l_params.B, 2), jnp.uint64)
         l_open, state = _open_multi(
             _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state,
-            config, full=lpoly_full, spec=_L_LANE_SPEC, lane_bits=2)
+            config, full=lpoly_full, spec=_L_LANE_SPEC, lane_bits=2, **uni)
         t_open, state = _open_multi(
             _chunked(counts_f, t_params.B), t_com, pts["t"], state,
-            config, full=counts_f)
+            config, full=counts_f, **uni)
     timings["open"] = time.time() - t0
     _trace("open", timings["open"])
 
@@ -556,28 +559,58 @@ class _LaneEvals:
         return poly.evaluate_vector(self.opening.aggrs[pidx], lo)
 
 
+def _unified_open_shape(g: Geometry, config: HobbitConfig, pc_rows,
+                        lookup_mode: bool):
+    """(v_min_len, sw_pad) shared by EVERY multi-open of one proof.
+
+    All five commitments' recursive opens are padded to one shockwave
+    V-length and one opened-point count, so the heavyweight compiled
+    programs (shockwave commit / multi-open, the merge sumcheck) have
+    ONE shape per proof instead of five — the TPU AOT compile path
+    charges minutes per distinct shape.  Derived from public geometry,
+    so prover and verifier agree."""
+    from ..pc import recursion as rec
+    opens = [(4 * g.np2, 2, len(_W_LANE_SPEC)),
+             (g.np2, 1, 0),
+             (16 * g.np2, 3 if lookup_mode else 2,
+              len(_c_lane_spec(lookup_mode)))]
+    if lookup_mode:
+        opens.append((4 * g.np2, 2, len(_L_LANE_SPEC)))
+        opens.append((g.TS, 1, 0))
+    v_min = sw_pad = 0
+    for length, P, extras in opens:
+        params = _pc_params(length, config, pc_rows)
+        v_min = max(v_min, rec.pad_points(P) * params.B)
+        sw_pad = max(sw_pad, 1 + P + extras)
+    return v_min, sw_pad
+
+
 def _open_multi(chunk_fn, com, pts_list, state, config: HobbitConfig,
-                full=None, spec=(), lane_bits: int = 0):
+                full=None, spec=(), lane_bits: int = 0,
+                v_min_len: int = 0, sw_pad: int = 0):
     """Dispatch naive vs recursive multi-open per config.recursion."""
     if config.recursion:
         lb = int(np.log2(com.params.B))
         return elastic.open_stream_multi_recursive(
             chunk_fn, com, pts_list, state, full=full,
             extra_points=_extra_points(spec, pts_list, lane_bits, lb),
-            sw_queries=config.shockwave_queries)
+            sw_queries=config.shockwave_queries,
+            v_min_len=v_min_len, sw_pad=sw_pad)
     return elastic.open_stream_multi(chunk_fn, com, pts_list, state,
                                      full=full)
 
 
 def _verify_multi(root, pts_list, opening, params, state,
-                  config: HobbitConfig, spec=(), lane_bits: int = 0):
+                  config: HobbitConfig, spec=(), lane_bits: int = 0,
+                  v_min_len: int = 0, sw_pad: int = 0):
     """Returns (ok, lane_evals, state)."""
     if config.recursion:
         lb = int(np.log2(params.B))
         extra = _extra_points(spec, pts_list, lane_bits, lb)
         ok, extra_evals, state = elastic.verify_multi_recursive(
             root, pts_list, opening, params, state, extra_points=extra,
-            sw_queries=config.shockwave_queries)
+            sw_queries=config.shockwave_queries,
+            v_min_len=v_min_len, sw_pad=sw_pad)
         if extra_evals is None:          # structural reject (query mismatch)
             return jnp.array(False), None, state
         ev = _LaneEvals(spec, opening, pts_list, lane_bits,
@@ -691,17 +724,21 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     w_params = _pc_params(4 * g.np2, config, pc_rows)
     f_params = _pc_params(g.np2, config, pc_rows)
     c_params = _pc_params(16 * g.np2, config, pc_rows)
+    v_min, sw_pad = _unified_open_shape(g, config, pc_rows,
+                                        proof.lookup_mode)
+    uni = dict(v_min_len=v_min, sw_pad=sw_pad)
     oko, wlane, state = _verify_multi(proof.witness_root, pts["w"],
                                       proof.w_open, w_params, state, config,
-                                      spec=_W_LANE_SPEC, lane_bits=2)
+                                      spec=_W_LANE_SPEC, lane_bits=2, **uni)
     ok = jnp.logical_and(ok, oko)
     oko, _, state = _verify_multi(proof.final_root, pts["f"],
-                                  proof.f_open, f_params, state, config)
+                                  proof.f_open, f_params, state, config,
+                                  **uni)
     ok = jnp.logical_and(ok, oko)
     oko, clane, state = _verify_multi(circuit_root, pts["c"],
                                       proof.c_open, c_params, state, config,
                                       spec=_c_lane_spec(proof.lookup_mode),
-                                      lane_bits=4)
+                                      lane_bits=4, **uni)
     ok = jnp.logical_and(ok, oko)
     llane = None
     if proof.lookup_mode:
@@ -710,10 +747,11 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         oko, llane, state = _verify_multi(proof.lookup_root, pts["l"],
                                           proof.l_open, l_params, state,
                                           config, spec=_L_LANE_SPEC,
-                                          lane_bits=2)
+                                          lane_bits=2, **uni)
         ok = jnp.logical_and(ok, oko)
         oko, _, state = _verify_multi(proof.counts_root, pts["t"],
-                                      proof.t_open, t_params, state, config)
+                                      proof.t_open, t_params, state, config,
+                                      **uni)
         ok = jnp.logical_and(ok, oko)
     if wlane is None or clane is None or (proof.lookup_mode and
                                           llane is None):

@@ -56,10 +56,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 import contextlib
 
 _ACTIVE: Mesh | None = None
+_KEY = None          # hashable descriptor of _ACTIVE (jit cache key part)
 
 
 def active() -> Mesh | None:
     return _ACTIVE
+
+
+def mesh_key():
+    """Hashable descriptor of the active mesh (None when unmeshed) —
+    part of every maybe_jit cache key so meshed and unmeshed traces
+    never reuse each other's executables."""
+    return _KEY
+
+
+def _descr(mesh: Mesh):
+    return (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+            tuple(int(d.id) for d in mesh.devices.flat))
 
 
 @contextlib.contextmanager
@@ -69,9 +82,10 @@ def use_mesh(mesh: Mesh):
     NOTE: jitted kernels trace the constraint in, so a process should
     either run meshed or unmeshed (toggling re-traces via the epoch salt
     in the jit cache keys of the fold kernels)."""
-    global _ACTIVE
-    prev = _ACTIVE
+    global _ACTIVE, _KEY
+    prev, prev_key = _ACTIVE, _KEY
     _ACTIVE = mesh
+    _KEY = _descr(mesh)
     # deliberately NOT entering `with mesh:` — an ambient mesh makes EVERY
     # jit partition for all devices (minutes-long compiles for kernels
     # that gain nothing); the explicit NamedSharding constraints in
@@ -81,6 +95,7 @@ def use_mesh(mesh: Mesh):
         yield mesh
     finally:
         _ACTIVE = prev
+        _KEY = prev_key
 
 
 def shard_leading(x):

@@ -502,7 +502,8 @@ class ElasticMultiRecOpening(NamedTuple):
 
 def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
                                 state, full=None, extra_points=(),
-                                sw_queries: int = 240):
+                                sw_queries: int = 240,
+                                v_min_len: int = 0, sw_pad: int = 0):
     """Open at every point in `points`; aggregates bound via ONE shockwave
     commitment + batched recursion instead of transmission."""
     from . import recursion as rec
@@ -526,7 +527,7 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
     eval_claims = jnp.stack([poly.evaluate_vector(aggrs[p], points[p][:lb])
                              for p in range(P)])
 
-    V = rec.concat_aggregates(aggrs)
+    V = rec.concat_aggregates(aggrs, min_len=v_min_len)
     k = rec._sw_k(V.shape[0])
     cf = sw_mod.commit(V, k)
     state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
@@ -547,11 +548,11 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
     if params.linear_time:
         rproof, state = rec.spielman_prove_multi(
             V, cf, aggrs, x_los, extra_points, qrows, qcols, params.rows,
-            spec.col_code, state, sw_queries=sw_queries)
+            spec.col_code, state, sw_queries=sw_queries, sw_pad=sw_pad)
     else:
         rproof, state = rec.rs_prove_multi(
             V, cf, params.B, x_los, extra_points, qrows, qcols, params.rows,
-            state, sw_queries=sw_queries)
+            state, sw_queries=sw_queries, sw_pad=sw_pad)
     return ElasticMultiRecOpening(
         eval_claims=eval_claims, cf_root=cf.outer.root, rows_idx=qrows,
         cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
@@ -561,7 +562,8 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
 
 def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
                            params: std.TensorPCParams, state,
-                           extra_points=(), sw_queries: int = 240):
+                           extra_points=(), sw_queries: int = 240,
+                           v_min_len: int = 0, sw_pad: int = 0):
     """Succinct multi-point verification; returns (ok, extra_evals, state).
 
     extra_evals are the recursion-bound evaluations at `extra_points`
@@ -603,12 +605,13 @@ def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
             opening.recursion, opening.cf_root, comb_vals,
             opening.eval_claims, x_los, extra_points, qrows, qcols,
             params.rows, params.B, spec.col_code, state,
-            sw_queries=sw_queries)
+            sw_queries=sw_queries, v_min_len=v_min_len, sw_pad=sw_pad)
     else:
         okr, extra_evals, state = rec.rs_verify_multi(
             opening.recursion, opening.cf_root, comb_vals,
             opening.eval_claims, x_los, extra_points, qrows, qcols,
-            params.rows, params.B, state, sw_queries=sw_queries)
+            params.rows, params.B, state, sw_queries=sw_queries,
+            v_min_len=v_min_len, sw_pad=sw_pad)
     return jnp.logical_and(okm, okr), extra_evals, state
 
 

@@ -374,15 +374,41 @@ def pad_points(P: int) -> int:
     return 1 << int(np.ceil(np.log2(max(1, P))))
 
 
-def concat_aggregates(aggrs):
-    """[P, B, 2] -> V [P2*B, 2]: point index in the high bits."""
+def concat_aggregates(aggrs, min_len: int = 0):
+    """[P, B, 2] -> V [P2*B, 2]: point index in the high bits.
+
+    ``min_len`` pads V (with zero aggregates) up to a caller-chosen
+    length so every multi-open in a proof shares ONE compiled shape for
+    the shockwave commit/open and the merge sumcheck — the TPU AOT
+    compile path charges minutes per distinct shape of those programs.
+    Zero segments contribute nothing to any claim; the verifier pads
+    identically (same rule from public geometry)."""
     P, B = aggrs.shape[0], aggrs.shape[1]
-    P2 = pad_points(P)
+    P2 = padded_points(P, B, min_len)
     V = aggrs.reshape(P * B, 2)
     if P2 > P:
         V = jnp.concatenate(
             [V, jnp.zeros(((P2 - P) * B, 2), dtype=jnp.uint64)], axis=0)
     return V
+
+
+def padded_points(P: int, B: int, min_len: int = 0) -> int:
+    """Shared P2 rule: natural power-of-two pad, raised to min_len/B."""
+    P2 = pad_points(P)
+    if min_len:
+        assert min_len % B == 0
+        P2 = max(P2, min_len // B)
+    return P2
+
+
+def _pad_sw_points(pts, sw_pad: int):
+    """Pad the shockwave point list to a fixed count by repeating the
+    first (sumcheck) point: duplicate claims are harmless under the
+    delta-RLC merge, and a fixed count means one compiled multi-open
+    shape per proof.  Prover and verifier apply the same rule."""
+    if sw_pad and len(pts) < sw_pad:
+        pts = list(pts) + [pts[0]] * (sw_pad - len(pts))
+    return pts
 
 
 def _multi_sw_points(pt, x_los, extra_points, P2: int):
@@ -401,7 +427,7 @@ def _multi_sw_points(pt, x_los, extra_points, P2: int):
 
 def rs_prove_multi(V, cf: sw.ShockwaveData, B: int, x_los, extra_points,
                    qrows, qcols, rows: int, state,
-                   sw_queries: int = sw.QUERIES):
+                   sw_queries: int = sw.QUERIES, sw_pad: int = 0):
     """V = concat_aggregates(aggrs); cf = shockwave.commit(V) whose root the
     caller absorbed BEFORE deriving the queries.  Returns (proof, state)."""
     P2 = V.shape[0] // B
@@ -422,18 +448,20 @@ def rs_prove_multi(V, cf: sw.ShockwaveData, B: int, x_los, extra_points,
     p_main, state = sc.prove_2product(V, Wp.reshape(P2 * B, 2), state)
 
     sw_pts = _multi_sw_points(p_main.challenges, x_los, extra_points, P2)
+    sw_pts = _pad_sw_points(sw_pts, sw_pad)
     sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
     return MultiRecursionProof(p_main, None, sw_open), state
 
 
 def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
                     eval_claims, x_los, extra_points, qrows, qcols,
-                    rows: int, B: int, state, sw_queries: int = sw.QUERIES):
+                    rows: int, B: int, state, sw_queries: int = sw.QUERIES,
+                    v_min_len: int = 0, sw_pad: int = 0):
     """comb_vals: [P, q, 2] per-point beta-combined (Merkle-verified) query
     replies.  Returns (ok, extra_evals, state) with extra_evals the bound
     evaluations at `extra_points` (same order)."""
     P, q = comb_vals.shape[0], comb_vals.shape[1]
-    P2 = pad_points(P)
+    P2 = padded_points(P, B, v_min_len)
     cols = B // rows
     lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
 
@@ -459,6 +487,8 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
                                    F.fmul(gmle, wantW)))
 
     sw_pts = _multi_sw_points(pt, x_los, extra_points, P2)
+    n_real = len(sw_pts)
+    sw_pts = _pad_sw_points(sw_pts, sw_pad)
     k = _sw_k(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
@@ -467,14 +497,14 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     ok = jnp.logical_and(ok, F.feq(swc[0], proof.p_main.final_evals[0]))
     ok = jnp.logical_and(ok, jnp.all(F.feq(swc[1:1 + P],
                                            eval_claims[:P])))
-    return ok, swc[1 + P:], state
+    return ok, swc[1 + P:n_real], state
 
 
 def spielman_prove_multi(V, cf: sw.ShockwaveData, aggrs, x_los, extra_points,
                          qrows, qcols, rows: int,
                          code: expanders.SpielmanCode, state,
                          sw_queries: int = sw.QUERIES,
-                         use_parity: bool = True):
+                         use_parity: bool = True, sw_pad: int = 0):
     """Spielman-column multi-point recursion: the batched linear-code proof
     runs on the gamma-RLC'd aggregate A (prover-side only); the tie
     sumcheck binds <V, gammavec (x) Phi2>.  Returns (proof, state)."""
@@ -522,6 +552,7 @@ def spielman_prove_multi(V, cf: sw.ShockwaveData, aggrs, x_los, extra_points,
     p_tie, state = sc.prove_2product(V, Phi2g.reshape(P2 * B, 2), state)
 
     sw_pts = _multi_sw_points(p_tie.challenges, x_los, extra_points, P2)
+    sw_pts = _pad_sw_points(sw_pts, sw_pad)
     sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
     return MultiRecursionProof(p_tie, p_code, sw_open, p_parity), state
 
@@ -529,10 +560,11 @@ def spielman_prove_multi(V, cf: sw.ShockwaveData, aggrs, x_los, extra_points,
 def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
                           eval_claims, x_los, extra_points, qrows, qcols,
                           rows: int, B: int, code: expanders.SpielmanCode,
-                          state, sw_queries: int = sw.QUERIES):
+                          state, sw_queries: int = sw.QUERIES,
+                          v_min_len: int = 0, sw_pad: int = 0):
     """Returns (ok, extra_evals, state)."""
     P, q = comb_vals.shape[0], comb_vals.shape[1]
-    P2 = pad_points(P)
+    P2 = padded_points(P, B, v_min_len)
     cols = B // rows
     lcb, lr, lpb = int(np.log2(cols)), int(np.log2(rows)), int(np.log2(P2))
     qpad = _pad_pow2_count(q)
@@ -579,6 +611,8 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
                                    F.fmul(gmle, F.fmul(eq_i_e, colfac_e))))
 
     sw_pts = _multi_sw_points(pt2, x_los, extra_points, P2)
+    n_real = len(sw_pts)
+    sw_pts = _pad_sw_points(sw_pts, sw_pad)
     k = _sw_k(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
@@ -587,7 +621,7 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     ok = jnp.logical_and(ok, F.feq(swc[0], proof.p_main.final_evals[0]))
     ok = jnp.logical_and(ok, jnp.all(F.feq(swc[1:1 + P],
                                            eval_claims[:P])))
-    return ok, swc[1 + P:], state
+    return ok, swc[1 + P:n_real], state
 
 
 def _eq_eval(r1, r2):
@@ -601,7 +635,8 @@ def _eq_eval(r1, r2):
 
 
 __all__ = ["RSRecursionProof", "SpielmanRecursionProof",
-           "MultiRecursionProof", "pad_points", "concat_aggregates",
+           "MultiRecursionProof", "pad_points", "padded_points",
+           "concat_aggregates",
            "rs_prove", "rs_verify", "spielman_prove", "spielman_verify",
            "rs_prove_multi", "rs_verify_multi",
            "spielman_prove_multi", "spielman_verify_multi"]

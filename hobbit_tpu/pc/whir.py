@@ -46,7 +46,12 @@ from ..ops import merkle, mimc, poly
 from ..utils.jitting import maybe_jit
 
 K_FOLD = 4                      # variables folded per iteration
-FINAL_SIZE = 1 << 6             # transmit the poly below this many coeffs
+# Transmit the final polynomial below this many coefficients.  256 (vs
+# the reference-style 64) keeps the transmitted tail at 4 KB while
+# cutting the number of committed WHIR levels — each level costs a
+# fixed block of TPU AOT compile time AND ~q Merkle paths of proof, so
+# fewer levels is strictly better until the tail dominates Ps.
+FINAL_SIZE = 1 << 8
 QUERIES_PER_LEVEL = 100     # 100-bit target at rate 1/2 (Virgo.cpp:544)
 
 
@@ -409,9 +414,36 @@ def _fork(state, I: int):
 
 
 def _babsorb(subs, vals):
-    """Absorb vals [I, m, 2] element-chains into per-instance states."""
-    for j in range(vals.shape[1]):
-        subs = mimc.mimc_hash(subs, vals[:, j])
+    """Absorb vals [I, m, 2] element-chains into per-instance states.
+
+    One flattened m*161-step scan over all rounds of all elements (the
+    per-element loop lowered one 161-round While each; see
+    mimc._absorb_chain)."""
+    import jax
+
+    I, m = vals.shape[0], vals.shape[1]
+    if m == 0:
+        return subs
+    R = mimc.ROUNDS
+    cs = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.uint64), jnp.asarray(mimc._COMMON)], axis=0)
+    cs = jnp.tile(cs, (m, 1))                       # [m*161, 2]
+    ks = jnp.repeat(vals, R, axis=1)                # [I, m*161, 2]
+    step_i = jnp.arange(m * R, dtype=jnp.int32)
+    first = (step_i % R) == 0
+    last = (step_i % R) == (R - 1)
+
+    def step(carry, xs):
+        h, out = carry                              # [I, 2] each
+        k, c, fst, lst = xs
+        x = jnp.where(fst, out, h)
+        h2 = mimc._cube(F.fadd(F.fadd(x, k), c[None]))
+        out2 = jnp.where(lst, F.fadd(h2, k), out)
+        return (h2, out2), None
+
+    (_, subs), _ = jax.lax.scan(
+        step, (jnp.zeros_like(subs), subs),
+        (jnp.moveaxis(ks, 1, 0), cs, first, last))
     return subs
 
 

@@ -454,7 +454,10 @@ def execute(program: CircuitProgram, inputs,
     gates/s host-side) — bit-identical to the device path."""
     from ..utils.jitting import JIT_ENABLED
     src = InputSource.wrap(inputs, program.num_inputs)
-    if JIT_ENABLED and program.num_gates > 0:
+    # The whole-program device jit unrolls one block per level plan; deep
+    # circuits (SHA-256: ~1200 levels) blow the compile budget, so those
+    # take the native/eager path even in jit mode.
+    if JIT_ENABLED and program.num_gates > 0 and len(program.plans) <= 128:
         # production path: evaluate ON DEVICE as one compiled program —
         # only the inputs cross the host->device link
         return _execute_device_jit(program, src.all())
