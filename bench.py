@@ -131,25 +131,47 @@ def _timeit(step, init_s, reps, windows=3):
 
 
 def bench_field_mult(rng, n=1 << 22, chain=16, reps=8):
+    """GF(p^2) multiply rate with a TRUE elementwise dependency chain.
+
+    The accumulator (cr, ci) carries across calls AND across the in-call
+    chain, so every multiply is on the critical path: a scalar-only carry
+    (sum of results) let executions overlap/collapse and report
+    impossible rates (the round-1..3 numbers moved 20e9-1200e9 run to
+    run for this reason).  Roofline: one GF(p^2) mult lowers to ~130
+    u64-emulated integer ops (3 Karatsuba base mulmods of ~36 32-bit
+    multiplies + aux adds/shifts/selects); the v5e VPU sustains ~1e12
+    int32 ops/s (8x128 lanes x ~940 MHz), so ~5-7e9 dependent mults/s
+    IS speed-of-light for this kernel class — measured 5.6e9 =~ 0.73e12
+    int-ops/s, ~76% of peak, justifying the XLA-only (no Pallas) field
+    path."""
     a = _rand_field(rng, n)
     b = _rand_field(rng, n)
-    ar, ai, br, bi = (jnp.array(x) for x in
-                      (a[:, 0], a[:, 1], b[:, 0], b[:, 1]))
+    br, bi = jnp.array(a[:, 0]), jnp.array(a[:, 1])
 
     @jax.jit
-    def step(s, ar, ai, br, bi):
-        cr, ci = ar, ai
+    def step(cr, ci, br, bi):
         for _ in range(chain):
             t = F.mulmod(cr + ci, br + bi)
             ac = F.mulmod(cr, br)
             bd = F.mulmod(ci, bi)
             cr = F.submod(ac, bd)
             ci = F.submod(F.submod(t, ac), bd)
-        return jnp.sum(cr) + jnp.sum(ci) + s
+        return cr, ci
 
-    dt = _timeit(lambda s: step(s, ar, ai, br, bi),
-                 jnp.zeros((), jnp.uint64), reps)
-    return chain * n / dt
+    cr, ci = jnp.array(b[:, 0]), jnp.array(b[:, 1])
+    out = step(cr, ci, br, bi)            # compile
+    np.asarray(out[0][:1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        c = (cr, ci)
+        for _ in range(reps):
+            c = step(c[0], c[1], br, bi)
+        np.asarray(c[0][:1])
+        best = min(best, (time.perf_counter() - t0) / reps)
+        if _remaining() < 60:
+            break
+    return chain * n / best
 
 
 def bench_merkle_hashes(rng, n_leaves=1 << 18, reps=8):

@@ -91,9 +91,17 @@ def _bool_point(v: int, bits: int):
 
 
 def _sw_k(B: int) -> int:
-    """Shockwave row count: ~sqrt(B), >=4, divides B."""
-    k = 1 << (int(np.log2(B)) // 2)
-    return max(4, k)
+    """Shockwave row count for the recursion commitment of V.
+
+    Each of the q=240 inner queries transmits a full k-row column
+    (k*16 bytes), so k drives proof size: the sqrt choice (k=1024 at
+    the flagship V=2^21) cost 3.9 MB of column replies per opened
+    commitment.  Capping the column length at 2^15 instead (k = B/2^15)
+    keeps the WHIR-folded aggregate small enough for cheap compiles
+    while cutting replies ~16x; the extra aggregate length is folded,
+    not transmitted."""
+    k = max(4, B >> 15)
+    return min(k, 1 << (int(np.log2(B)) // 2))
 
 
 @maybe_jit(static_argnums=(3, 4, 5))

@@ -250,18 +250,32 @@ def _open_multi_impl(matrix, encoded, ostack, pts, state, queries: int,
     lc = int(np.log2(cols))
     P = pts.shape[0]
     # batched beta tables / claims: ONE vectorized instantiation instead
-    # of P unrolled copies (compile cost is per lowered op, not per lane)
+    # of P unrolled copies (compile cost is per lowered op, not per lane);
+    # the k-contraction runs as a scan so no [P, k, cols] intermediate
+    # materializes (600 MB at the flagship shape)
     blos = jax.vmap(poly.beta_table)(pts[:, :lc])          # [P, cols, 2]
     bhis = jax.vmap(poly.beta_table)(pts[:, lc:])          # [P, k, 2]
-    aggrs = F.fsum(F.fmul(bhis[:, :, None, :], matrix[None]),
-                   axis=1)                                 # [P, cols, 2]
+
+    def row_acc(acc, xs):
+        bh_r, row = xs                                     # [P, 2], [cols, 2]
+        return F.fadd(acc, F.fmul(bh_r[:, None, :], row[None])), None
+
+    aggrs, _ = jax.lax.scan(
+        row_acc, jnp.zeros((P, cols, 2), jnp.uint64),
+        (jnp.moveaxis(bhis, 1, 0), matrix))                # [P, cols, 2]
     eval_claims = F.fsum(F.fmul(aggrs, blos), axis=1)      # [P, 2]
     state = mimc.absorb(state, eval_claims)
 
     state, d = mimc.squeeze1(state)
     deltas = poly.powers(d, P)
-    W = F.fsum(F.fmul(F.fmul(deltas[:, None, :], bhis)[:, :, None, :],
-                      blos[:, None, :, :]), axis=0)        # [k, cols, 2]
+
+    def w_acc(acc, xs):
+        db, bl = xs                                        # [k, 2], [cols, 2]
+        return F.fadd(acc, F.fmul(db[:, None, :], bl[None])), None
+
+    W, _ = jax.lax.scan(
+        w_acc, jnp.zeros((k, cols, 2), jnp.uint64),
+        (F.fmul(deltas[:, None, :], bhis), blos))          # [k, cols, 2]
     p0, state = sc.prove_2product(matrix.reshape(N, 2),
                                   W.reshape(N, 2), state)
     inner, state = _open_impl(matrix, encoded, ostack, p0.challenges,
