@@ -528,7 +528,7 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
                              for p in range(P)])
 
     V = rec.concat_aggregates(aggrs, min_len=v_min_len)
-    k = rec._sw_k(V.shape[0])
+    k = rec._sw_k_multi(V.shape[0])
     cf = sw_mod.commit(V, k)
     state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
     state, qrows, qcols = std.derive_queries(state, params)

@@ -91,17 +91,26 @@ def _bool_point(v: int, bits: int):
 
 
 def _sw_k(B: int) -> int:
-    """Shockwave row count for the recursion commitment of V.
+    """Shockwave row count (~sqrt) for SINGLE-POINT recursion opens.
 
-    Each of the q=240 inner queries transmits a full k-row column
+    These serve the mul-tree layer commitments: many distinct small-B
+    shapes, each compiled separately, so the sqrt split keeps every
+    per-shape open cheap to compile (cols <= 2^10 at B = 2^19)."""
+    return max(4, 1 << (int(np.log2(B)) // 2))
+
+
+def _sw_k_multi(V: int) -> int:
+    """Shockwave row count for the MULTI-point recursion commitment of V.
+
+    Each of the 240 inner queries transmits a full k-row column
     (k*16 bytes), so k drives proof size: the sqrt choice (k=1024 at
     the flagship V=2^21) cost 3.9 MB of column replies per opened
-    commitment.  Capping the column length at 2^15 instead (k = B/2^15)
-    keeps the WHIR-folded aggregate small enough for cheap compiles
-    while cutting replies ~16x; the extra aggregate length is folded,
-    not transmitted."""
-    k = max(4, B >> 15)
-    return min(k, 1 << (int(np.log2(B)) // 2))
+    commitment.  Capping the column length at 2^15 (k = V/2^15) cuts
+    replies ~16x; the longer aggregate is folded by WHIR, not
+    transmitted, and this shape is UNIFIED across all five opens of a
+    proof, so the one compile is amortized."""
+    k = max(4, V >> 15)
+    return min(k, 1 << (int(np.log2(V)) // 2))
 
 
 @maybe_jit(static_argnums=(3, 4, 5))
@@ -497,7 +506,7 @@ def rs_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     sw_pts = _multi_sw_points(pt, x_los, extra_points, P2)
     n_real = len(sw_pts)
     sw_pts = _pad_sw_points(sw_pts, sw_pad)
-    k = _sw_k(P2 * B)
+    k = _sw_k_multi(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
     ok = jnp.logical_and(ok, oks)
@@ -621,7 +630,7 @@ def spielman_verify_multi(proof: MultiRecursionProof, cf_root, comb_vals,
     sw_pts = _multi_sw_points(pt2, x_los, extra_points, P2)
     n_real = len(sw_pts)
     sw_pts = _pad_sw_points(sw_pts, sw_pad)
-    k = _sw_k(P2 * B)
+    k = _sw_k_multi(P2 * B)
     oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k, P2 * B,
                                  state, queries=sw_queries)
     ok = jnp.logical_and(ok, oks)
