@@ -335,7 +335,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         spec=_W_LANE_SPEC, lane_bits=2, **uni)
     f_open, state = _open_multi(
         _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
-        config, full=fpoly_full, **uni)
+        config, full=fpoly_full)
 
     c_params = _pc_params(16 * g.np2, config, pc_rows)
     c_gates = c_params.B // 16
@@ -368,7 +368,7 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             config, full=lpoly_full, spec=_L_LANE_SPEC, lane_bits=2, **uni)
         t_open, state = _open_multi(
             _chunked(counts_f, t_params.B), t_com, pts["t"], state,
-            config, full=counts_f, **uni)
+            config, full=counts_f)
     timings["open"] = time.time() - t0
     _trace("open", timings["open"])
 
@@ -561,22 +561,25 @@ class _LaneEvals:
 
 def _unified_open_shape(g: Geometry, config: HobbitConfig, pc_rows,
                         lookup_mode: bool):
-    """(v_min_len, sw_pad) shared by EVERY multi-open of one proof.
+    """(v_min_len, sw_pad) shared by the LARGE multi-opens of one proof.
 
-    All five commitments' recursive opens are padded to one shockwave
+    The w/c/l commitments' recursive opens are padded to one shockwave
     V-length and one opened-point count, so the heavyweight compiled
     programs (shockwave commit / multi-open, the merge sumcheck) have
-    ONE shape per proof instead of five — the TPU AOT compile path
+    ONE shape per proof instead of three — the TPU AOT compile path
     charges minutes per distinct shape.  Derived from public geometry,
-    so prover and verifier agree."""
+    so prover and verifier agree.
+
+    The small commitments (fpoly, tpoly: single-point, no lane extras)
+    keep their NATURAL shapes: their whale compiles are cheap at small
+    sizes, and padding them to the unified shape cost ~0.35 MB of
+    full-size inner replies each."""
     from ..pc import recursion as rec
     opens = [(4 * g.np2, 2, len(_W_LANE_SPEC)),
-             (g.np2, 1, 0),
              (16 * g.np2, 3 if lookup_mode else 2,
               len(_c_lane_spec(lookup_mode)))]
     if lookup_mode:
         opens.append((4 * g.np2, 2, len(_L_LANE_SPEC)))
-        opens.append((g.TS, 1, 0))
     v_min = sw_pad = 0
     for length, P, extras in opens:
         params = _pc_params(length, config, pc_rows)
@@ -732,8 +735,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
                                       spec=_W_LANE_SPEC, lane_bits=2, **uni)
     ok = jnp.logical_and(ok, oko)
     oko, _, state = _verify_multi(proof.final_root, pts["f"],
-                                  proof.f_open, f_params, state, config,
-                                  **uni)
+                                  proof.f_open, f_params, state, config)
     ok = jnp.logical_and(ok, oko)
     oko, clane, state = _verify_multi(circuit_root, pts["c"],
                                       proof.c_open, c_params, state, config,
@@ -750,8 +752,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
                                           lane_bits=2, **uni)
         ok = jnp.logical_and(ok, oko)
         oko, _, state = _verify_multi(proof.counts_root, pts["t"],
-                                      proof.t_open, t_params, state, config,
-                                      **uni)
+                                      proof.t_open, t_params, state, config)
         ok = jnp.logical_and(ok, oko)
     if wlane is None or clane is None or (proof.lookup_mode and
                                           llane is None):
