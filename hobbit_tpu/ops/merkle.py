@@ -76,6 +76,32 @@ import functools
 from ..utils.jitting import maybe_jit
 
 
+class _LazyStack:
+    """Deferred padded level stack: built on the FIRST ``open_leaves``
+    call and memoized.  Building it eagerly in ``build_from_digests``
+    cost ~log2(n) x leaf-level memory (~70 MB for a 2^17-leaf tree) for
+    EVERY tree, including the many commit_fields/aggr trees that are
+    opened once or never."""
+
+    __slots__ = ("value",)
+
+    def __init__(self):
+        self.value = None
+
+    def get(self, levels):
+        if self.value is None:
+            import jax
+
+            n = levels[0].shape[0]
+            stack = jnp.stack([jnp.concatenate(
+                [lvl, jnp.zeros((n - lvl.shape[0], 8), dtype=lvl.dtype)])
+                for lvl in levels[:-1]])
+            if isinstance(stack, jax.core.Tracer):
+                return stack         # inside a trace: never memoize tracers
+            self.value = stack
+        return self.value
+
+
 def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
     """Build a tree over [n, 8] uint32 leaf digests (n a power of two).
 
@@ -91,12 +117,7 @@ def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
     while cur.shape[0] > 1:
         cur = pairs(cur[0::2], cur[1::2])
         levels.append(cur)
-    if n > 1:
-        stack = jnp.stack([jnp.concatenate(
-            [lvl, jnp.zeros((n - lvl.shape[0], 8), dtype=lvl.dtype)])
-            for lvl in levels[:-1]])
-    else:
-        stack = None
+    stack = _LazyStack() if n > 1 else None
     return MerkleTree(levels=tuple(levels), backend=backend, stack=stack)
 
 
@@ -172,8 +193,11 @@ def open_leaves(tree: MerkleTree, indices):
         idx = jnp.asarray(indices, dtype=jnp.int64)
     if not tree.levels[:-1]:
         return jnp.zeros((idx.shape[0], 0, 8), dtype=jnp.uint32)
-    if tree.stack is not None:
-        return _open_stack(tree.stack, idx)
+    stack = tree.stack
+    if isinstance(stack, _LazyStack):
+        stack = stack.get(tree.levels)
+    if stack is not None:
+        return _open_stack(stack, idx)
     return _open_leaves_kernel(tuple(tree.levels[:-1]), idx)
 
 

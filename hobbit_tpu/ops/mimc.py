@@ -116,25 +116,25 @@ def _absorb_chain(state, values):
     exactly the same arithmetic (round j of element i at step i*161+j),
     so transcripts are unchanged."""
     n = values.shape[0]
-    # per-step round constant (C[i-1] for rounds 1..160, 0 for round 0)
+    # per-step round constant (C[i-1] for rounds 1..160, 0 for round 0);
+    # keys/constants are GATHERED by the carried step counter instead of
+    # pre-repeated xs arrays (a 161x HBM copy of everything absorbed)
     cs = jnp.concatenate(
         [jnp.zeros((1, 2), jnp.uint64), jnp.asarray(_COMMON)], axis=0)
-    cs = jnp.tile(cs, (n, 1))                       # [n*161, 2]
-    ks = jnp.repeat(values, ROUNDS, axis=0)         # [n*161, 2] key = v_i
-    step_i = jnp.arange(n * ROUNDS, dtype=jnp.int32)
-    first = (step_i % ROUNDS) == 0
-    last = (step_i % ROUNDS) == (ROUNDS - 1)
 
-    def step(carry, xs):
-        h, out = carry
-        k, c, fst, lst = xs
-        x = jnp.where(fst, out, h)
+    def step(carry, _):
+        h, out, i = carry
+        r = i % ROUNDS
+        k = values[i // ROUNDS]
+        c = cs[r]
+        x = jnp.where(r == 0, out, h)
         h2 = _cube(F.fadd(F.fadd(x, k), c))
-        out2 = jnp.where(lst, F.fadd(h2, k), out)
-        return (h2, out2), None
+        out2 = jnp.where(r == ROUNDS - 1, F.fadd(h2, k), out)
+        return (h2, out2, i + 1), None
 
-    (_, state), _ = jax.lax.scan(
-        step, (jnp.zeros_like(state), state), (ks, cs, first, last))
+    (_, state, _), _ = jax.lax.scan(
+        step, (jnp.zeros_like(state), state, jnp.int32(0)), None,
+        length=n * ROUNDS)
     return state
 
 

@@ -108,9 +108,12 @@ def _sw_k_multi(V: int) -> int:
     commitment.  Capping the column length at 2^15 (k = V/2^15) cuts
     replies ~16x; the longer aggregate is folded by WHIR, not
     transmitted, and this shape is UNIFIED across all five opens of a
-    proof, so the one compile is amortized."""
-    k = max(4, V >> 15)
-    return min(k, 1 << (int(np.log2(V)) // 2))
+    proof, so the one compile is amortized.
+
+    The >=4 floor is applied LAST: shockwave requires k % 4 == 0, and
+    tiny multi-open shapes (V <= 2^6) otherwise hit the sqrt cap at
+    k = 2 and crash in _column_roots."""
+    return max(4, min(V >> 15, 1 << (int(np.log2(V)) // 2)))
 
 
 @maybe_jit(static_argnums=(3, 4, 5))
