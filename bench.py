@@ -82,9 +82,16 @@ def _emit(payload):
 
 def _watchdog():
     if not _DONE.wait(max(1.0, _BUDGET - _elapsed())):
+        # honest timeout: the last JSON line carries timed_out=true so a
+        # budget kill is distinguishable from a completed run (round-4
+        # regression: rc=0 + null fields read as "success")
         if _PAYLOAD[0] is not None:
-            print(json.dumps(_PAYLOAD[0]), flush=True)
-        os._exit(0)
+            payload = dict(_PAYLOAD[0])
+            extra = dict(payload.get("extra") or {})
+            extra["timed_out"] = True
+            payload["extra"] = extra
+            print(json.dumps(payload), flush=True)
+        os._exit(3)
 
 
 def _tick(name):
@@ -260,7 +267,10 @@ def bench_e2e_sql(extra, mult_rate, buffer_bits=19, log_n=17):
         _emit(_payload(mult_rate, extra))
 
     try:
-        cfg = HobbitConfig(buffer_bits=buffer_bits)
+        # fun6 mirrors the reference's prove_circuit path (main.cpp:1231):
+        # the verifier knows the circuit, so the circuit-description
+        # commitment is public preprocessing and carries NO opening
+        cfg = HobbitConfig(buffer_bits=buffer_bits, committed_circuit=False)
         prog = C.fun6_sql_range_query(log_n)
         x = C.random_inputs(prog, seed=3, small=256)
         # circuit-description commitment: input-independent preprocessing

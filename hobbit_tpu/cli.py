@@ -97,10 +97,14 @@ def cmd_prove(args) -> dict:
     from .core import prover
     from .utils import metrics
 
+    # fun 1/7/8 mirror the reference's prove_arbitrary_circuit (committed
+    # circuit stream, main.cpp:1224-1229); the rest mirror prove_circuit
+    # (verifier knows the circuit, main.cpp:1231)
     cfg = HobbitConfig(buffer_bits=args.buffer_bits,
                        linear_time=args.linear_time,
                        recursion=not args.no_recursion,
-                       pc_queries=args.pc_queries)
+                       pc_queries=args.pc_queries,
+                       committed_circuit=args.fun in (1, 7, 8))
     prog, x = _workload(args.fun, args.log_n, args.depth, args.seed)
     print(f"# fun={args.fun} gates={prog.num_gates} "
           f"buffer=2^{args.buffer_bits} device={jax.devices()[0]}",

@@ -59,6 +59,14 @@ class HobbitConfig:
     # 2^24+ traces batch), and degrades to the largest divisor of the
     # level count when 5 does not divide it.
     mt_distance: int = 5
+    # Commit + open the circuit-description polynomial (cpoly) as part of
+    # the proof.  True mirrors the reference's prove_arbitrary_circuit
+    # (main.cpp:812-852: fun 1/7/8 commit the 16N circuit stream); False
+    # mirrors prove_circuit (main.cpp:862-983: the verifier KNOWS the
+    # circuit and evaluates its description polynomials itself — the
+    # headline fun-6 benchmark path), dropping the largest multi-open from
+    # the proof entirely.
+    committed_circuit: bool = True
 
     def resolved_pc_queries(self) -> int:
         if self.pc_queries is not None:

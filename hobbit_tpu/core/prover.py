@@ -337,18 +337,20 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
         config, full=fpoly_full)
 
-    c_params = _pc_params(16 * g.np2, config, pc_rows)
-    c_gates = c_params.B // 16
-    cpoly_full = _cpoly_full(program, g) \
-        if not streaming and 16 * g.np2 <= (1 << 26) else None
+    c_open = None
+    if config.committed_circuit:
+        c_params = _pc_params(16 * g.np2, config, pc_rows)
+        c_gates = c_params.B // 16
+        cpoly_full = _cpoly_full(program, g) \
+            if not streaming and 16 * g.np2 <= (1 << 26) else None
 
-    def c_chunks(i):
-        return views.circuit_lane_chunk(program, i * c_gates,
-                                        (i + 1) * c_gates)
-    c_open, state = _open_multi(c_chunks, circuit_com, pts["c"], state,
-                                config, full=cpoly_full,
-                                spec=_c_lane_spec(lookup_mode), lane_bits=4,
-                                **uni)
+        def c_chunks(i):
+            return views.circuit_lane_chunk(program, i * c_gates,
+                                            (i + 1) * c_gates)
+        c_open, state = _open_multi(c_chunks, circuit_com, pts["c"], state,
+                                    config, full=cpoly_full,
+                                    spec=_c_lane_spec(lookup_mode),
+                                    lane_bits=4, **uni)
     l_open = t_open = None
     if lookup_mode:
         rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
@@ -575,9 +577,10 @@ def _unified_open_shape(g: Geometry, config: HobbitConfig, pc_rows,
     sizes, and padding them to the unified shape cost ~0.35 MB of
     full-size inner replies each."""
     from ..pc import recursion as rec
-    opens = [(4 * g.np2, 2, len(_W_LANE_SPEC)),
-             (16 * g.np2, 3 if lookup_mode else 2,
-              len(_c_lane_spec(lookup_mode)))]
+    opens = [(4 * g.np2, 2, len(_W_LANE_SPEC))]
+    if config.committed_circuit:
+        opens.append((16 * g.np2, 3 if lookup_mode else 2,
+                      len(_c_lane_spec(lookup_mode))))
     if lookup_mode:
         opens.append((4 * g.np2, 2, len(_L_LANE_SPEC)))
     v_min = sw_pad = 0
@@ -623,6 +626,42 @@ def _verify_multi(root, pts_list, opening, params, state,
     ev = _LaneEvals(spec, opening, pts_list, lane_bits,
                     int(np.log2(params.B)), None)
     return bool(ok), ev, state
+
+
+def _direct_circuit_lanes(program: trc.CircuitProgram, g: Geometry, pts_c):
+    """clane(pidx, lane) for the UNCOMMITTED-circuit mode.
+
+    The verifier KNOWS the circuit (reference ``prove_circuit``,
+    main.cpp:862-983) and evaluates the description MLE itself — no
+    opening is transmitted.  Every pts_c point is (4 zero lane bits ||
+    rest); clane(p, lane) is the cpoly MLE at (lane bits || rest_p),
+    which restricts to lane vector `lane`'s MLE at rest_p because the
+    lane bits are binary.  One batched kernel evaluates all 16 lanes at
+    every point (O(np2) device work per point — the same class as
+    recomputing the public circuit root)."""
+    lanes = views.circuit_lane_chunk(program, 0, g.np2).reshape(
+        g.np2, views.C_LANES, 2)
+    rest = np.stack([np.asarray(p)[4:] for p in pts_c])   # [P, log_np2, 2]
+    evs = _direct_lane_kernel(lanes, jnp.asarray(rest))   # [P, 16, 2]
+    return lambda pidx, lane: evs[pidx, lane]
+
+
+def _direct_lane_kernel(lanes, rest):
+    return _direct_lane_jit(lanes, rest)
+
+
+from ..utils.jitting import maybe_jit as _maybe_jit
+
+
+@_maybe_jit
+def _direct_lane_jit(lanes, rest):
+    import jax
+
+    def per_point(r):
+        beta = poly.beta_table(r)                         # [np2, 2]
+        return F.fsum(F.fmul(beta[:, None, :], lanes), axis=0)
+
+    return jax.vmap(per_point)(rest)                      # [P, 16, 2]
 
 
 def _opening_points(gc_proof, p_w, p_l, g: Geometry, lookup_mode: bool):
@@ -737,11 +776,15 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     oko, _, state = _verify_multi(proof.final_root, pts["f"],
                                   proof.f_open, f_params, state, config)
     ok = jnp.logical_and(ok, oko)
-    oko, clane, state = _verify_multi(circuit_root, pts["c"],
-                                      proof.c_open, c_params, state, config,
-                                      spec=_c_lane_spec(proof.lookup_mode),
-                                      lane_bits=4, **uni)
-    ok = jnp.logical_and(ok, oko)
+    if (proof.c_open is None) != (not config.committed_circuit):
+        return False, state          # structural: proof/config mode mismatch
+    if config.committed_circuit:
+        oko, clane, state = _verify_multi(
+            circuit_root, pts["c"], proof.c_open, c_params, state, config,
+            spec=_c_lane_spec(proof.lookup_mode), lane_bits=4, **uni)
+        ok = jnp.logical_and(ok, oko)
+    else:
+        clane = _direct_circuit_lanes(program, g, pts["c"])
     llane = None
     if proof.lookup_mode:
         l_params = _pc_params(4 * g.np2, config, pc_rows)

@@ -95,6 +95,58 @@ def test_e2e_rejects_inconsistent_trace():
     assert not bool(okb)
 
 
+def test_e2e_uncommitted_circuit_fun1():
+    """committed_circuit=False (the reference prove_circuit mode,
+    main.cpp:862-983): no c_open in the proof; the verifier evaluates the
+    circuit-description MLE directly."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, committed_circuit=False)
+    prog = C.fun1_arbitrary(3, 6)
+    x = C.fun1_inputs(prog.num_inputs)
+    proof, ccom, ok = _roundtrip(prog, x, cfg=cfg)
+    assert ok
+    assert proof.c_open is None
+
+
+def test_e2e_uncommitted_circuit_lookup():
+    import dataclasses
+    cfg = dataclasses.replace(CFG, committed_circuit=False)
+    prog = C.fun2_range_proof_lookup(4)
+    x = C.fun2_inputs(4)
+    proof, ccom, ok = _roundtrip(prog, x, cfg=cfg)
+    assert ok
+    assert proof.c_open is None
+    # mode mismatch is a structural reject, both directions
+    okb, _ = prover.verify(proof, prog, CFG, ccom.root, pc_rows=4)
+    assert not bool(okb)
+
+
+def test_e2e_uncommitted_rejects_wrong_circuit():
+    """A proof for one circuit must not verify against another program of
+    identical geometry (direct lane evaluation binds the description)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, committed_circuit=False)
+    prog = C.fun1_arbitrary(3, 6)
+    x = C.fun1_inputs(prog.num_inputs)
+    proof, ccom, ok = _roundtrip(prog, x, cfg=cfg)
+    assert ok
+
+    # same geometry, one level's add<->mul selector flipped
+    n = 1 << 3
+    b = C.Builder(num_inputs=n)
+    cur = np.arange(n, dtype=np.int64)
+    for d in range(6):
+        rolled = np.roll(cur, 1)
+        use_add = (d % 2 == 0) != (d == 3)
+        cur = b.add(cur, rolled) if use_add else b.mul(cur, rolled)
+    b.sum_tree(cur)
+    other = b.build()
+    assert other.num_gates == prog.num_gates
+
+    okb, _ = prover.verify(proof, other, cfg, ccom.root, pc_rows=4)
+    assert not bool(okb)
+
+
 def test_e2e_aes_lookup_mode():
     """AES-128 block: all-lookup circuit through the full pipeline.
     (2^16-entry XOR table => table-driven lookup domain; medium buffer.)"""
