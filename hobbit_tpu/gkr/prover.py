@@ -62,6 +62,12 @@ class GkrProof(NamedTuple):
     layer_proofs: tuple
     input_eval: jnp.ndarray       # [2] input MLE eval at final point
     final_point: jnp.ndarray      # [log n_in, 2]
+    # Virgo-VPD input binding (reference prover_standard.cpp:661-775:
+    # the standard GKR commits the input with a VPD commitment instead of
+    # transmitting the final claim openly): root + openings at the last
+    # layer's (u*, v*)
+    input_root: object = None
+    input_opens: tuple = ()
 
 
 def _pow2(n: int) -> int:
@@ -92,17 +98,36 @@ def _pad(v, n):
 
 
 def prove(circuit: layered.LayeredCircuit, inputs, state,
-          point=None, claim=None):
+          point=None, claim=None, bind_input: bool = False,
+          vpd_queries: int = 33):
     """Prove the evaluation; returns (GkrProof, state).
 
     With ``point`` given, the proof starts from an external claim about the
     output MLE at that point (claim = output~(point), zero-padded domain)
     instead of transmitting the output layer — the entry used by the Orion
     encoding proof, where the claim comes from the column-indicator
-    sumcheck (reference prove_encodings_orion, prove_encodings.cpp:227)."""
+    sumcheck (reference prove_encodings_orion, prove_encodings.cpp:227).
+
+    bind_input=True commits the (padded) input vector with a Virgo VPD
+    before the layer walk and opens it at the last layer's (u*, v*) — the
+    reference's standard-GKR input binding (prover_standard.cpp:661-775);
+    the verifier then checks the chained claim against the two bound
+    openings instead of trusting ``input_eval``."""
+    from ..pc import virgo
+
     vals = layered.evaluate(circuit, inputs)
     metas = _metas(circuit)
     d = circuit.depth
+
+    icom = None
+    icoeffs = None
+    if bind_input:
+        # VPD is monomial-basis (chi table); the GKR claim is an
+        # evaluation-basis MLE value — Moebius-convert once
+        icoeffs = poly.to_coefficient_form(_pad(vals[0], metas[0].n_below))
+        icom = virgo.vpd_commit(icoeffs)
+        state = mimc.absorb(state,
+                            icom.root.astype(jnp.uint64).reshape(4, 2))
 
     output = vals[d]
     if point is None:
@@ -180,24 +205,46 @@ def prove(circuit: layered.LayeredCircuit, inputs, state,
         W = W[: circuit.layer_size(i - 1)]
         final_point = None
 
-    # input layer: claim = <W, inputs>; supply the final evaluation openly
+    # input layer: claim = a0 V~(u*) + a1 V~(v*) over the padded inputs;
+    # either supplied openly (caller must bind it) or bound via VPD opens
+    input_root = None
+    input_opens = ()
+    if bind_input:
+        op_u, state = virgo.vpd_open(icoeffs, icom, u_star, state,
+                                     queries=vpd_queries)
+        op_v, state = virgo.vpd_open(icoeffs, icom, v_star, state,
+                                     queries=vpd_queries)
+        input_root = icom.root
+        input_opens = (op_u, op_v)
     input_eval = claim
     return GkrProof(output=output, layer_proofs=tuple(layer_proofs),
                     input_eval=input_eval,
-                    final_point=jnp.zeros((0, 2), jnp.uint64)), state
+                    final_point=jnp.zeros((0, 2), jnp.uint64),
+                    input_root=input_root, input_opens=input_opens), state
 
 
 def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state,
-           point=None, claim=None):
+           point=None, claim=None, vpd_queries: int = 33):
     """Replays the transcript.  Returns (ok, weight_vector, claim, state):
     the caller must check claim == <weight_vector, inputs~> (direct input
     check or via a PC opening of the input polynomial).
 
     With ``point``/``claim`` given, starts from the external output-MLE
-    claim (matching prove(point=...))."""
+    claim (matching prove(point=...)).
+
+    If the proof carries a VPD input binding (prove(bind_input=True)),
+    the final claim is checked HERE against the two bound openings — the
+    returned claim is then already verified and the caller needs no
+    further input check."""
+    from ..pc import virgo
+
     metas = _metas(circuit)
     d = circuit.depth
     ok = jnp.array(True)
+
+    if proof.input_root is not None:
+        state = mimc.absorb(
+            state, proof.input_root.astype(jnp.uint64).reshape(4, 2))
 
     if point is None:
         state = mimc.absorb(state, proof.output)
@@ -256,6 +303,20 @@ def verify(proof: GkrProof, circuit: layered.LayeredCircuit, state,
                    F.fmul(a01[1][None, :], beta_v))
         W = W[: circuit.layer_size(i - 1)]
 
+    if proof.input_root is not None:
+        if len(proof.input_opens) != 2:
+            return jnp.array(False), W, claim, state
+        op_u, op_v = proof.input_opens
+        n_in = metas[0].n_below
+        oku, state = virgo.vpd_verify(proof.input_root, u_star, op_u,
+                                      n_in, state, queries=vpd_queries)
+        okv, state = virgo.vpd_verify(proof.input_root, v_star, op_v,
+                                      n_in, state, queries=vpd_queries)
+        ok = jnp.logical_and(ok, jnp.logical_and(jnp.asarray(oku),
+                                                 jnp.asarray(okv)))
+        bound = F.fadd(F.fmul(a01[0], op_u.eval_claim),
+                       F.fmul(a01[1], op_v.eval_claim))
+        ok = jnp.logical_and(ok, F.feq(claim, bound))
     ok = jnp.logical_and(ok, F.feq(claim, proof.input_eval))
     return ok, W, claim, state
 

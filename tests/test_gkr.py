@@ -56,6 +56,39 @@ def test_gkr_roundtrip():
     np.testing.assert_array_equal(np.asarray(claim), np.asarray(want))
 
 
+def test_gkr_vpd_input_binding_roundtrip():
+    """bind_input=True: the input vector is Virgo-VPD-committed and the
+    final chained claim is checked against the two bound openings
+    (reference prover_standard.cpp:661-775)."""
+    b = build_test_circuit()
+    circ = b.build()
+    x = rand_field(8)
+    inputs = b.make_inputs(x)
+    proof, _ = prover.prove(circ, inputs, mimc.fresh_state(),
+                            bind_input=True, vpd_queries=8)
+    assert proof.input_root is not None and len(proof.input_opens) == 2
+    ok, W, claim, _ = prover.verify(proof, circ, mimc.fresh_state(),
+                                    vpd_queries=8)
+    assert bool(ok)
+
+
+def test_gkr_vpd_input_binding_rejects_tampered_eval():
+    """Tampering the transmitted input_eval alone no longer fools anyone:
+    the bound VPD openings pin the true claim."""
+    b = build_test_circuit()
+    circ = b.build()
+    x = rand_field(8)
+    inputs = b.make_inputs(x)
+    proof, _ = prover.prove(circ, inputs, mimc.fresh_state(),
+                            bind_input=True, vpd_queries=8)
+    op_u, op_v = proof.input_opens
+    bad_u = op_u._replace(eval_claim=F.fadd(op_u.eval_claim, F.scalar(1)))
+    bad = proof._replace(input_opens=(bad_u, op_v))
+    ok, _, _, _ = prover.verify(bad, circ, mimc.fresh_state(),
+                                vpd_queries=8)
+    assert not bool(ok)
+
+
 def test_gkr_rejects_wrong_output():
     b = build_test_circuit()
     circ = b.build()
