@@ -16,10 +16,20 @@ Memory: each pass keeps one chunk + the tensor weight vector (size <= B)
 resident — O(B); passes: one per group (log(N/B)/c of them) plus the
 in-memory tail.  The reference gets away with 2 passes total by chaining
 claims through a convolution-consistency sumcheck (compute_convolution,
-utils.cpp:149-179); we re-stream per group instead — same O(N log / c)
-work, simpler Fiat-Shamir — and return the generalized evaluation weights
-(tensor of per-group Lagrange vectors x eq(z)) for the caller to bind
-(transparently, or with a PC that supports generalized tensor points).
+utils.cpp:149-179); this coset engine re-streams per group instead — same
+O(N log / c) work, simpler Fiat-Shamir — and returns the generalized
+evaluation weights (tensor of per-group Lagrange vectors x eq(z)) for the
+caller to bind.
+
+PASS-COUNT PARITY: ``prove_pairs_two_pass`` (bottom of this module) is
+the engine with the reference's 2-passes-per-phase complexity — fold the
+chunk stream under sequential Fiat-Shamir weights with transmitted
+cross-terms, then chain the folded claim back to the real stream with a
+binding sumcheck over the chunk axis (the role the reference's
+convolution-consistency sumcheck plays).  ``gkr/stream_circuit.py``
+uses it BY DEFAULT (engine="two_pass"); the coset engine remains as the
+one-pass-per-group alternative whose final point is a generalized
+(non-multilinear) tensor point.
 """
 
 from __future__ import annotations
