@@ -58,8 +58,7 @@ def _level_chunk_step(beta, foldA, foldB, C, c, state):
     k1 = F.fdot(beta, F.fadd(F.fmul(foldA, Bv), F.fmul(A, foldB)))
     k2 = F.fdot(beta, F.fmul(A, Bv))
     terms = jnp.stack([k1, k2])
-    state = mimc.absorb(state, terms)
-    state, w = mimc.squeeze1(state)
+    state, w = mimc.absorb_squeeze1(state, terms)
     C = F.fadd(C, F.fadd(F.fmul(w, k1), F.fmul(F.fmul(w, w), k2)))
     foldA = F.fadd(foldA, F.fmul(w[None, :], A))
     foldB = F.fadd(foldB, F.fmul(w[None, :], Bv))
@@ -124,12 +123,28 @@ def flat_oracle(flat, piece: int = 1 << 20) -> Callable:
 # Streaming level descent
 # ---------------------------------------------------------------------------
 
+def _mt_tick(name, t0, sync=None):
+    import os
+    import sys
+    import time as _t
+    if os.environ.get("HOBBIT_TRACE") == "1":
+        if sync is not None:
+            import jax
+            jax.block_until_ready(sync)
+        print(f"[mt] {name}: {_t.perf_counter() - t0:.2f}s",
+              file=sys.stderr, flush=True)
+    import time as _t2
+    return _t2.perf_counter()
+
+
 def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
                  r, claim, state):
     """One tree-descent level: proves claim = sum_z eq(r,z) A(z) B(z) where
     A/B are the even/odd halves of the level stream (K chunks of 2B).
 
     Returns (LevelProof, new_point, new_claim, state)."""
+    import time as _t
+    t0 = _t.perf_counter()
     lb = int(np.log2(B))
     r_lo, r_hi = r[:lb], r[lb:]
     beta = poly.beta_table(r_lo)                      # [B, 2], shared
@@ -144,10 +159,12 @@ def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
         ws.append(w)
         per_chunk.append(terms)
     w_vec = jnp.stack(ws)
+    t0 = _mt_tick(f"level chunks K={K}", t0, state)
 
     # in-memory cubic sumcheck over the folds: sum_x foldA foldB beta = C
     mem_proof, state = sc.prove_3product(foldA, foldB, beta, state)
     rho = mem_proof.challenges                        # [log B, 2]
+    t0 = _mt_tick("level mem3", t0, state)
 
     # pass 2: binding — per-chunk partial evals vs the w vector
     beta_rho = poly.beta_table(rho)
@@ -157,8 +174,10 @@ def _prove_level(cfn: Callable[[int], jnp.ndarray], K: int, B: int,
         PA.append(pa)
         PB.append(pb)
     bind_arrays = {"w": w_vec, "PA": jnp.stack(PA), "PB": jnp.stack(PB)}
+    t0 = _mt_tick("level binds", t0, bind_arrays["PA"])
     state, uw = mimc.squeeze(state, 2)
     bind_proof, state = sc.prove_mixed(bind_arrays, BIND_GROUPS, uw, state)
+    t0 = _mt_tick("level mixed", t0, state)
     sigma = bind_proof.challenges                     # [log K, 2]
 
     eA = bind_proof.final_evals["PA"]
@@ -184,8 +203,7 @@ def _verify_level(lp: LevelProof, B: int, r, claim, state):
     true_claim = F.scalar(0)
     for i in range(K):
         terms = lp.per_chunk[i]
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
+        state, w = mimc.absorb_squeeze1(state, terms)
         w2 = F.fmul(w, w)
         C = F.fadd(C, F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
         true_claim = F.fadd(true_claim, F.fmul(beta_K[i], terms[1]))
@@ -284,10 +302,14 @@ def prove(chunk_fn: Callable, vectors: int, size: int, state,
                                 com.root.astype(jnp.uint64).reshape(4, 2))
 
     # --- top in-memory tree ------------------------------------------------
+    import time as _t
+    t0 = _t.perf_counter()
     top_stream = _read_top(chunk_fn, layers, total, B)
+    t0 = _mt_tick("read_top", t0, top_stream)
     row = top_stream.shape[0] // vectors
     rows = [top_stream[i * row:(i + 1) * row] for i in range(vectors)]
     top, state = mul_tree.prove(rows, state)
+    t0 = _mt_tick("top_tree", t0, state)
     point, claim = top.final_point, top.final_eval
 
     # --- streaming descent -------------------------------------------------
@@ -516,13 +538,19 @@ def _boundary_params(total: int, level: int, B: int, pc_rows: int,
 
 def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
                   B: int, distance: int, pc_rows: int = 4,
-                  pc_queries: int = 16):
+                  pc_queries: int = 16, defer: bool = False):
     """Distance-batched variant of ``prove`` (same return contract).
 
     Streams the level-0..layers range in ``layers/distance`` concurrent
     batches (2*distance passes over the stream instead of 2*layers); the
     batch-boundary levels are Elastic-committed and opened at both their
-    chained points, replacing the plain driver's per-level chaining."""
+    chained points, replacing the plain driver's per-level chaining.
+
+    defer=True returns a 5th element: the boundary openings are NOT run
+    here — instead a list of pending (params, points, chunk_fn, tree)
+    tuples is returned for the caller to fold into the proof's shared
+    GROUP opening (one recursion instance per proof instead of one per
+    boundary), along with the two claims each opening must bind."""
     total = vectors * size
     assert total & (total - 1) == 0
     if distance > 0 and total > 2 * B:
@@ -536,6 +564,8 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
             distance = cands[0] if cands else 0
     if total <= 2 * B or distance <= 0:
         proof, point, claim, state = prove(chunk_fn, vectors, size, state, B)
+        if defer:
+            return proof, point, claim, state, []
         return proof, point, claim, state
     batches = layers // distance
 
@@ -552,10 +582,14 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
         state = mimc.absorb(state, com.root.astype(jnp.uint64).reshape(4, 2))
 
     # --- top in-memory tree ------------------------------------------------
+    import time as _t
+    t0 = _t.perf_counter()
     top_stream = _read_top(chunk_fn, layers, total, B)
+    t0 = _mt_tick("read_top", t0, top_stream)
     row = top_stream.shape[0] // vectors
     rows = [top_stream[i * row:(i + 1) * row] for i in range(vectors)]
     top, state = mul_tree.prove(rows, state)
+    t0 = _mt_tick("top_tree", t0, state)
 
     # --- batched descent ----------------------------------------------------
     r_ext, state = _extend_point(top.final_point, layers, distance, state)
@@ -570,6 +604,22 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
     # claims0[b-1] at its r_ext prefix.  Batch batches-1's top claim is the
     # in-memory tree's endpoint (the verifier checks it against
     # top.final_eval directly).
+    if defer:
+        pending = []
+        for (l, com, params) in commits:
+            b = l // distance
+            pts = (points[b], prefixes[b - 1])
+            pending.append(dict(
+                params=params, points=pts, tree=com.tree,
+                chunk_fn=(lambda j, l=l, params=params:
+                          chunk_fn(l, j, params.B))))
+        proof = BatchedMulTreeProof(
+            top_proof=top, batched=bl_proof, num_layers=layers,
+            distance=distance, chunk_size=B, vectors=vectors, size=size,
+            boundary_roots=tuple(com.root for (_, com, _) in commits),
+            boundary_openings=())
+        return proof, points[0], claims[0], state, pending
+
     openings = []
     for (l, com, params) in commits:
         b = l // distance
@@ -587,10 +637,19 @@ def prove_batched(chunk_fn: Callable, vectors: int, size: int, state,
     return proof, points[0], claims[0], state
 
 
-def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16):
-    """Replay a batched (or plain, by dispatch) mul-tree transcript."""
+def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16,
+                   defer: bool = False):
+    """Replay a batched (or plain, by dispatch) mul-tree transcript.
+
+    defer=True (group-opening mode): boundary openings are NOT verified
+    here — a 5th return element lists, per boundary, the
+    (params, points, root, want_claims) the caller must check against
+    the proof's shared group opening."""
     if isinstance(proof, StreamMulTreeProof):
-        return verify(proof, state, pc_rows=pc_rows, pc_queries=pc_queries)
+        out = verify(proof, state, pc_rows=pc_rows, pc_queries=pc_queries)
+        if defer:
+            return out + ([],)
+        return out
     ok = jnp.array(True)
     B = proof.chunk_size
     total = proof.vectors * proof.size
@@ -613,6 +672,17 @@ def verify_batched(proof, state, pc_rows: int = 4, pc_queries: int = 16):
                                    proof.top_proof.final_eval))
 
     prefixes = _batch_prefixes(r_ext, total, layers, distance)
+    if defer:
+        checks = []
+        for oi, b in enumerate(range(1, batches)):
+            l = b * distance
+            params = _boundary_params(total, l, B, pc_rows, pc_queries)
+            checks.append(dict(
+                params=params, points=(points[b], prefixes[b - 1]),
+                root=proof.boundary_roots[oi],
+                want=(claims[b], proof.batched.claims0[b - 1])))
+        return ok, points[0], claims[0], state, checks
+
     for oi, b in enumerate(range(1, batches)):
         l = b * distance
         params = _boundary_params(total, l, B, pc_rows, pc_queries)

@@ -7,8 +7,9 @@ committed polynomials so the verifier is succinct — it never executes the
 circuit and derives every protocol stream evaluation LINEARLY from PC
 openings:
 
-  wpoly [4*np2]   per-gate lanes (L, R, O, 0)      — streaming commit
-  fpoly [np2]     death-order final wire values    — streaming commit
+  wpoly [4*np2]   per-gate lanes (L, R, O, fin)    — streaming commit;
+                  lane 3 = fpoly (death-order final wire values), so one
+                  commitment binds both
   cpoly [16*np2]  static circuit description       — public preprocessing
                   (selectors, table ids, wiring indices, access counters,
                   death-order wire metadata); its root is a public input
@@ -56,19 +57,26 @@ from . import gate_consistency as gc
 from . import mul_tree_stream as mts
 
 
+class NaiveOpens(NamedTuple):
+    """Per-commitment multi-opens (recursion=False mode)."""
+    w: object
+    c: object
+    l: object
+    t: object
+
+
 class CircuitProof(NamedTuple):
     witness_root: jnp.ndarray
-    final_root: jnp.ndarray
     lookup_root: Optional[jnp.ndarray]
     counts_root: Optional[jnp.ndarray]
     wiring_proof: object             # StreamMulTreeProof
     lookup_proof: Optional[object]
     gc_proof: object                 # GateConsistencyProof | FoldStreamProof
-    w_open: object                   # ElasticMultiOpening of wpoly
-    f_open: object                   # of fpoly
-    c_open: object                   # of cpoly
-    l_open: Optional[object]
-    t_open: Optional[object]
+    # recursion mode: ONE ElasticGroupOpening binding wpoly (lane 3 =
+    # fpoly), cpoly (committed mode), lpoly, tpoly AND the deferred
+    # wiring/lookup boundary levels through a single shared recursion;
+    # naive mode: NaiveOpens of per-commitment ElasticMultiOpenings
+    open_proof: object
     num_gates: int
     lookup_mode: bool
     timings: dict
@@ -88,13 +96,26 @@ class Geometry(NamedTuple):
         return int(np.log2(self.np2))
 
 
-def _trace(phase: str, dt: float):
+def _trace(phase: str, dt: float, sync=None):
     """Env-gated phase progress (HOBBIT_TRACE=1): localizes stalls on
-    remote-attached devices where a cold run can take minutes per phase."""
+    remote-attached devices where a cold run can take minutes per phase.
+    ``sync``: value to block on first — without it, async dispatch skews
+    attribution (a phase's device work drains at the NEXT sync point)."""
     import os
     import sys
     if os.environ.get("HOBBIT_TRACE") == "1":
+        if sync is not None:
+            import jax
+            jax.block_until_ready(sync)
         print(f"[prove] {phase}: {dt:.1f}s", file=sys.stderr, flush=True)
+
+
+def _trace_sync(val):
+    """Block on ``val`` when HOBBIT_TRACE=1 so phase timings are honest."""
+    import os
+    if val is not None and os.environ.get("HOBBIT_TRACE") == "1":
+        import jax
+        jax.block_until_ready(val)
 
 
 def _pow2_above(n: int) -> int:
@@ -120,8 +141,15 @@ def geometry(program: trc.CircuitProgram, config: HobbitConfig) -> Geometry:
 
 
 def _pc_params(length: int, config: HobbitConfig,
-               pc_rows: Optional[int], queries: Optional[int] = None):
+               pc_rows: Optional[int], queries: Optional[int] = None,
+               b_cap: Optional[int] = None):
+    """b_cap: upper bound on the chunk size B.  The tpoly commitment uses
+    b_cap = wpoly's B so its segment never RAISES the group opening's
+    slot size (at small circuits with big lookup tables, TS/2 can exceed
+    the witness chunk — an 8x larger shared vector otherwise)."""
     K = max(2, length // config.buffer_space)
+    if b_cap is not None and length // K > b_cap:
+        K = max(2, length // b_cap)
     B = length // K
     rows = min(pc_rows or max(4, config.tensor_row_size), max(4, B // 4))
     if queries is None:
@@ -204,42 +232,41 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     _trace("setup", timings["setup"])
 
     # ---- 1. commitments --------------------------------------------------
+    # wpoly lane 3 carries fpoly (death-order final wire values): one
+    # commitment + one multi-open binds both (the former standalone f
+    # commitment cost its own ~0.5 MB opening at the flagship config)
     t0 = time.time()
     w_params = _pc_params(4 * g.np2, config, pc_rows)
-    f_params = _pc_params(g.np2, config, pc_rows)
     w_gates = w_params.B // 4
 
-    wpoly_full = fpoly_full = lpoly_full = None
+    wpoly_full = lpoly_full = None
     if not streaming:
         tr = oracle.trace()
         tr_pad = trc._slice_pad(tr, 0, tr.num_gates, g.np2)
-        wpoly_full = views.witness_lane_chunk(tr_pad)
-        w_chunks = _chunked(wpoly_full, w_params.B)
         fpoly_full = jnp.pad(tr.fin_val,
                              ((0, g.np2 - tr.num_wires), (0, 0)))
+        wpoly_full = views.witness_lane_chunk(tr_pad, fin=fpoly_full)
+        w_chunks = _chunked(wpoly_full, w_params.B)
     else:
         def w_chunks_gen():
+            fin_gen = oracle.final_chunks(w_gates)
+            zero_f = jnp.zeros((w_gates, 2), jnp.uint64)
+            zero_tr = None
             got = 0
             for tr_c in oracle.gate_chunks(w_gates):
                 got += 1
-                yield views.witness_lane_chunk(tr_c)
+                fin = next(fin_gen, None)
+                yield views.witness_lane_chunk(
+                    tr_c, fin=zero_f if fin is None else fin[1])
             for _ in range(w_params.K - got):
-                yield jnp.zeros((w_params.B, 2), jnp.uint64)
+                fin = next(fin_gen, None)
+                lanes = jnp.zeros((w_gates, 4, 2), jnp.uint64)
+                if fin is not None:
+                    lanes = lanes.at[:, 3].set(fin[1])
+                yield lanes.reshape(w_params.B, 2)
         w_chunks = _seq_chunks(w_chunks_gen, w_params.K)
     w_com = elastic.commit_stream(w_chunks, w_params, full=wpoly_full)
     state = _absorb_root(state, w_com.root)
-
-    def f_chunks_gen():
-        n_chunks = g.np2 // f_params.B
-        got = 0
-        for idx, val, cnt, nv in oracle.final_chunks(f_params.B):
-            yield val
-            got += 1
-        for _ in range(n_chunks - got):
-            yield jnp.zeros((f_params.B, 2), jnp.uint64)
-    f_chunks = _seq_chunks(f_chunks_gen, f_params.K)
-    f_com = elastic.commit_stream(f_chunks, f_params, full=fpoly_full)
-    state = _absorb_root(state, f_com.root)
 
     l_com = t_com = None
     l_params = t_params = None
@@ -267,13 +294,15 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         state = _absorb_root(state, l_com.root)
         counts = rank_state.final_counts()
 
-        t_params = _pc_params(g.TS, config, pc_rows)
+        t_params = _pc_params(g.TS, config, pc_rows,
+                                  b_cap=w_params.B)
         counts_p = jnp.pad(counts.astype(jnp.uint64),
                            (0, g.TS - counts.shape[0]))
         counts_f = jnp.stack([counts_p, jnp.zeros_like(counts_p)], axis=-1)
         t_chunks = _chunked(counts_f, t_params.B)
         t_com = elastic.commit_stream(t_chunks, t_params, full=counts_f)
         state = _absorb_root(state, t_com.root)
+    _trace_sync(state)
     timings["commit"] = time.time() - t0
     _trace("commit", timings["commit"])
 
@@ -288,9 +317,17 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     else:
         w_oracle = ws.SequentialFoldOracle(
             ws.wiring_stream_factory(oracle, g.np2, B0, a, b), 16 * g.np2)
-    wiring_proof, p_w, c_w, state = mts.prove_batched(
-        w_oracle, 4, 4 * g.np2, state, B0, config.mt_distance,
-        pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
+    w_pending = []
+    if config.recursion:
+        wiring_proof, p_w, c_w, state, w_pending = mts.prove_batched(
+            w_oracle, 4, 4 * g.np2, state, B0, config.mt_distance,
+            pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries(),
+            defer=True)
+    else:
+        wiring_proof, p_w, c_w, state = mts.prove_batched(
+            w_oracle, 4, 4 * g.np2, state, B0, config.mt_distance,
+            pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
+    _trace_sync(state)
     timings["wiring"] = time.time() - t0
     _trace("wiring", timings["wiring"])
 
@@ -305,9 +342,18 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
             l_oracle = ws.SequentialFoldOracle(
                 ws.lookup_stream_factory(oracle, g.size_l, B0, a, b,
                                          g.table_size, g.TS), 4 * g.size_l)
-        lookup_proof, p_l, c_l, state = mts.prove_batched(
-            l_oracle, 4, g.size_l, state, B0, config.mt_distance,
-            pc_rows=pc_rows or 4, pc_queries=config.resolved_pc_queries())
+        if config.recursion:
+            lookup_proof, p_l, c_l, state, l_pending = mts.prove_batched(
+                l_oracle, 4, g.size_l, state, B0, config.mt_distance,
+                pc_rows=pc_rows or 4,
+                pc_queries=config.resolved_pc_queries(), defer=True)
+            w_pending += l_pending
+        else:
+            lookup_proof, p_l, c_l, state = mts.prove_batched(
+                l_oracle, 4, g.size_l, state, B0, config.mt_distance,
+                pc_rows=pc_rows or 4,
+                pc_queries=config.resolved_pc_queries())
+        _trace_sync(state)
         timings["lookups"] = time.time() - t0
         _trace("lookups", timings["lookups"])
 
@@ -321,23 +367,15 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
     else:
         gc_proof, state = gc.prove(_SeqGateArrays(oracle, g), g.K_gc,
                                    g.B_gc, r_gc, state)
+    _trace_sync(state)
     timings["gate_consistency"] = time.time() - t0
     _trace("gate_consistency", timings["gate_consistency"])
 
     # ---- 5. openings -----------------------------------------------------
     t0 = time.time()
     pts = _opening_points(gc_proof, p_w, p_l, g, lookup_mode)
-    v_min, sw_pad = _unified_open_shape(g, config, pc_rows, lookup_mode)
-    uni = dict(v_min_len=v_min, sw_pad=sw_pad)
-    w_open, state = _open_multi(
-        w_chunks if not streaming else _seq_chunks(w_chunks_gen, w_params.K),
-        w_com, pts["w"], state, config, full=wpoly_full,
-        spec=_W_LANE_SPEC, lane_bits=2, **uni)
-    f_open, state = _open_multi(
-        _seq_chunks(f_chunks_gen, f_params.K), f_com, pts["f"], state,
-        config, full=fpoly_full)
 
-    c_open = None
+    cpoly_full = c_chunks = None
     if config.committed_circuit:
         c_params = _pc_params(16 * g.np2, config, pc_rows)
         c_gates = c_params.B // 16
@@ -347,11 +385,6 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
         def c_chunks(i):
             return views.circuit_lane_chunk(program, i * c_gates,
                                             (i + 1) * c_gates)
-        c_open, state = _open_multi(c_chunks, circuit_com, pts["c"], state,
-                                    config, full=cpoly_full,
-                                    spec=_c_lane_spec(lookup_mode),
-                                    lane_bits=4, **uni)
-    l_open = t_open = None
     if lookup_mode:
         rank_state2 = views.LookupRankStream(g.num_tables, g.table_size)
         l_gates = l_params.B // 4
@@ -365,22 +398,81 @@ def prove(program: trc.CircuitProgram, inputs, config: HobbitConfig,
                 yield views.lookup_lane_chunk(tr_c, ranks)
             for _ in range(l_params.K - got):
                 yield jnp.zeros((l_params.B, 2), jnp.uint64)
-        l_open, state = _open_multi(
-            _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"], state,
-            config, full=lpoly_full, spec=_L_LANE_SPEC, lane_bits=2, **uni)
-        t_open, state = _open_multi(
-            _chunked(counts_f, t_params.B), t_com, pts["t"], state,
-            config, full=counts_f)
+
+    if config.recursion:
+        # ALL multi-opens of the proof (witness/circuit/lookup/counts +
+        # the deferred wiring/lookup boundary levels) share ONE group
+        # recursion: one shockwave commitment, one merge sumcheck, one
+        # inner WHIR — ~200-400 KB per avoided standalone instance
+        lb_w = int(np.log2(w_params.B))
+        items = [elastic.GroupItem(
+            params=w_params, points=tuple(pts["w"]),
+            chunk_fn=(None if not streaming
+                      else _seq_chunks(w_chunks_gen, w_params.K)),
+            full=wpoly_full if not streaming else None,
+            extra_points=_extra_points(_W_LANE_SPEC, pts["w"], 2, lb_w),
+            tree=w_com.tree)]
+        if not streaming:
+            items[0] = items[0]._replace(chunk_fn=w_chunks)
+        if config.committed_circuit:
+            lb_c = int(np.log2(c_params.B))
+            items.append(elastic.GroupItem(
+                params=c_params, points=tuple(pts["c"]), chunk_fn=c_chunks,
+                full=cpoly_full,
+                extra_points=_extra_points(_c_lane_spec(lookup_mode),
+                                           pts["c"], 4, lb_c),
+                tree=circuit_com.tree))
+        if lookup_mode:
+            lb_l = int(np.log2(l_params.B))
+            items.append(elastic.GroupItem(
+                params=l_params, points=tuple(pts["l"]),
+                chunk_fn=_seq_chunks(l_chunks_gen2, l_params.K),
+                full=lpoly_full,
+                extra_points=_extra_points(_L_LANE_SPEC, pts["l"], 2, lb_l),
+                tree=l_com.tree))
+            items.append(elastic.GroupItem(
+                params=t_params, points=tuple(pts["t"]),
+                chunk_fn=_chunked(counts_f, t_params.B), full=counts_f,
+                tree=t_com.tree))
+        for pend in w_pending:
+            items.append(elastic.GroupItem(
+                params=pend["params"], points=tuple(pend["points"]),
+                chunk_fn=pend["chunk_fn"], tree=pend["tree"]))
+        open_proof, state = elastic.open_group_recursive(
+            items, state, sw_queries=config.shockwave_queries)
+    else:
+        w_open, state = _open_multi(
+            w_chunks if not streaming
+            else _seq_chunks(w_chunks_gen, w_params.K),
+            w_com, pts["w"], state, config, full=wpoly_full,
+            spec=_W_LANE_SPEC, lane_bits=2)
+        c_open = None
+        if config.committed_circuit:
+            c_open, state = _open_multi(c_chunks, circuit_com, pts["c"],
+                                        state, config, full=cpoly_full,
+                                        spec=_c_lane_spec(lookup_mode),
+                                        lane_bits=4)
+        l_open = t_open = None
+        if lookup_mode:
+            l_open, state = _open_multi(
+                _seq_chunks(l_chunks_gen2, l_params.K), l_com, pts["l"],
+                state, config, full=lpoly_full, spec=_L_LANE_SPEC,
+                lane_bits=2)
+            t_open, state = _open_multi(
+                _chunked(counts_f, t_params.B), t_com, pts["t"], state,
+                config, full=counts_f)
+        open_proof = NaiveOpens(w=w_open, c=c_open, l=l_open, t=t_open)
+    _trace_sync(state)
     timings["open"] = time.time() - t0
     _trace("open", timings["open"])
 
     proof = CircuitProof(
-        witness_root=w_com.root, final_root=f_com.root,
+        witness_root=w_com.root,
         lookup_root=None if l_com is None else l_com.root,
         counts_root=None if t_com is None else t_com.root,
         wiring_proof=wiring_proof, lookup_proof=lookup_proof,
-        gc_proof=gc_proof, w_open=w_open, f_open=f_open, c_open=c_open,
-        l_open=l_open, t_open=t_open, num_gates=program.num_gates,
+        gc_proof=gc_proof, open_proof=open_proof,
+        num_gates=program.num_gates,
         lookup_mode=lookup_mode, timings=timings,
     )
     return proof, state
@@ -501,7 +593,7 @@ def _materialized_lookup_flat(oracle, g: Geometry, a, b):
 # shockwave commitment) or direct aggregate evaluations in naive mode.
 # ---------------------------------------------------------------------------
 
-_W_LANE_SPEC = ((0, 1), (0, 2), (1, 1), (1, 2))
+_W_LANE_SPEC = ((0, 1), (0, 2), (1, 1), (1, 2), (1, 3))
 _L_LANE_SPEC = ((0, views.L_RM), (0, views.L_OM),
                 (1, views.L_RM), (1, views.L_OM), (1, views.L_RANK))
 
@@ -561,34 +653,20 @@ class _LaneEvals:
         return poly.evaluate_vector(self.opening.aggrs[pidx], lo)
 
 
-def _unified_open_shape(g: Geometry, config: HobbitConfig, pc_rows,
-                        lookup_mode: bool):
-    """(v_min_len, sw_pad) shared by the LARGE multi-opens of one proof.
+class _GroupLaneEvals:
+    """ev(pidx, lane) over ONE entry of a group opening: lane 0 is the
+    entry's eval claim at point pidx; nonzero lanes are the entry's
+    recursion-bound extra claims (same spec order as the prover)."""
 
-    The w/c/l commitments' recursive opens are padded to one shockwave
-    V-length and one opened-point count, so the heavyweight compiled
-    programs (shockwave commit / multi-open, the merge sumcheck) have
-    ONE shape per proof instead of three — the TPU AOT compile path
-    charges minutes per distinct shape.  Derived from public geometry,
-    so prover and verifier agree.
+    def __init__(self, spec, eval_claims, extra_evals):
+        self.spec = tuple(spec)
+        self.eval_claims = eval_claims
+        self.extra_evals = extra_evals
 
-    The small commitments (fpoly, tpoly: single-point, no lane extras)
-    keep their NATURAL shapes: their whale compiles are cheap at small
-    sizes, and padding them to the unified shape cost ~0.35 MB of
-    full-size inner replies each."""
-    from ..pc import recursion as rec
-    opens = [(4 * g.np2, 2, len(_W_LANE_SPEC))]
-    if config.committed_circuit:
-        opens.append((16 * g.np2, 3 if lookup_mode else 2,
-                      len(_c_lane_spec(lookup_mode))))
-    if lookup_mode:
-        opens.append((4 * g.np2, 2, len(_L_LANE_SPEC)))
-    v_min = sw_pad = 0
-    for length, P, extras in opens:
-        params = _pc_params(length, config, pc_rows)
-        v_min = max(v_min, rec.pad_points(P) * params.B)
-        sw_pad = max(sw_pad, 1 + P + extras)
-    return v_min, sw_pad
+    def __call__(self, pidx: int, lane: int):
+        if lane == 0:
+            return self.eval_claims[pidx]
+        return self.extra_evals[self.spec.index((pidx, lane))]
 
 
 def _open_multi(chunk_fn, com, pts_list, state, config: HobbitConfig,
@@ -677,7 +755,6 @@ def _opening_points(gc_proof, p_w, p_l, g: Geometry, lookup_mode: bool):
     pts = {
         "w": [np.concatenate([z1, z1, rho_gc], axis=0),
               np.concatenate([z1, z1, tau_w], axis=0)],
-        "f": [tau_w],
         "c": [np.concatenate([z1, z1, z1, z1, rho_gc], axis=0),
               np.concatenate([z1, z1, z1, z1, tau_w], axis=0)],
     }
@@ -718,7 +795,6 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     state = mimc.fresh_state()
     state = _absorb_root(state, circuit_root)
     state = _absorb_root(state, proof.witness_root)
-    state = _absorb_root(state, proof.final_root)
     if proof.lookup_mode:
         state = _absorb_root(state, proof.lookup_root)
         state = _absorb_root(state, proof.counts_root)
@@ -727,9 +803,15 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     a, b = ab[0], ab[1]
 
     # ---- wiring mul-tree + permutation identity -------------------------
-    okw, p_w, c_w, state = mts.verify_batched(
-        proof.wiring_proof, state, pc_rows=pc_rows or 4,
-        pc_queries=config.resolved_pc_queries())
+    w_checks = []
+    if config.recursion:
+        okw, p_w, c_w, state, w_checks = mts.verify_batched(
+            proof.wiring_proof, state, pc_rows=pc_rows or 4,
+            pc_queries=config.resolved_pc_queries(), defer=True)
+    else:
+        okw, p_w, c_w, state = mts.verify_batched(
+            proof.wiring_proof, state, pc_rows=pc_rows or 4,
+            pc_queries=config.resolved_pc_queries())
     ok = jnp.logical_and(ok, okw)
     out = proof.wiring_proof.output
     ok = jnp.logical_and(ok, F.feq(F.fmul(out[0], out[3]),
@@ -737,9 +819,15 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
 
     p_l = c_l = None
     if proof.lookup_mode:
-        okl, p_l, c_l, state = mts.verify_batched(
-            proof.lookup_proof, state, pc_rows=pc_rows or 4,
-            pc_queries=config.resolved_pc_queries())
+        if config.recursion:
+            okl, p_l, c_l, state, l_checks = mts.verify_batched(
+                proof.lookup_proof, state, pc_rows=pc_rows or 4,
+                pc_queries=config.resolved_pc_queries(), defer=True)
+            w_checks += l_checks
+        else:
+            okl, p_l, c_l, state = mts.verify_batched(
+                proof.lookup_proof, state, pc_rows=pc_rows or 4,
+                pc_queries=config.resolved_pc_queries())
         ok = jnp.logical_and(ok, okl)
         out = proof.lookup_proof.output
         ok = jnp.logical_and(ok, F.feq(F.fmul(out[0], out[3]),
@@ -764,42 +852,104 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
     # ---- openings --------------------------------------------------------
     pts = _opening_points(proof.gc_proof, p_w, p_l, g, proof.lookup_mode)
     w_params = _pc_params(4 * g.np2, config, pc_rows)
-    f_params = _pc_params(g.np2, config, pc_rows)
     c_params = _pc_params(16 * g.np2, config, pc_rows)
-    v_min, sw_pad = _unified_open_shape(g, config, pc_rows,
-                                        proof.lookup_mode)
-    uni = dict(v_min_len=v_min, sw_pad=sw_pad)
-    oko, wlane, state = _verify_multi(proof.witness_root, pts["w"],
-                                      proof.w_open, w_params, state, config,
-                                      spec=_W_LANE_SPEC, lane_bits=2, **uni)
-    ok = jnp.logical_and(ok, oko)
-    oko, _, state = _verify_multi(proof.final_root, pts["f"],
-                                  proof.f_open, f_params, state, config)
-    ok = jnp.logical_and(ok, oko)
-    if (proof.c_open is None) != (not config.committed_circuit):
-        return False, state          # structural: proof/config mode mismatch
-    if config.committed_circuit:
-        oko, clane, state = _verify_multi(
-            circuit_root, pts["c"], proof.c_open, c_params, state, config,
-            spec=_c_lane_spec(proof.lookup_mode), lane_bits=4, **uni)
-        ok = jnp.logical_and(ok, oko)
+    cntE = None
+    if config.recursion:
+        if not isinstance(proof.open_proof, elastic.ElasticGroupOpening):
+            return False, state      # structural: proof/config mode mismatch
+        lb_w = int(np.log2(w_params.B))
+        items = [elastic.GroupItem(
+            params=w_params, points=tuple(pts["w"]),
+            extra_points=_extra_points(_W_LANE_SPEC, pts["w"], 2, lb_w))]
+        roots = [proof.witness_root]
+        if config.committed_circuit:
+            lb_c = int(np.log2(c_params.B))
+            items.append(elastic.GroupItem(
+                params=c_params, points=tuple(pts["c"]),
+                extra_points=_extra_points(_c_lane_spec(proof.lookup_mode),
+                                           pts["c"], 4, lb_c)))
+            roots.append(circuit_root)
+        if proof.lookup_mode:
+            l_params = _pc_params(4 * g.np2, config, pc_rows)
+            t_params = _pc_params(g.TS, config, pc_rows,
+                                  b_cap=w_params.B)
+            lb_l = int(np.log2(l_params.B))
+            items.append(elastic.GroupItem(
+                params=l_params, points=tuple(pts["l"]),
+                extra_points=_extra_points(_L_LANE_SPEC, pts["l"], 2,
+                                           lb_l)))
+            roots.append(proof.lookup_root)
+            items.append(elastic.GroupItem(params=t_params,
+                                           points=tuple(pts["t"])))
+            roots.append(proof.counts_root)
+        bound0 = len(items)
+        for check in w_checks:
+            items.append(elastic.GroupItem(params=check["params"],
+                                           points=tuple(check["points"])))
+            roots.append(check["root"])
+        opening = proof.open_proof
+        if len(opening.eval_claims) != len(items) or \
+           len(opening.replies) != len(items):
+            return False, state      # structural: entry count mismatch
+        okg, extra_pe, state = elastic.verify_group_recursive(
+            roots, items, opening, state,
+            sw_queries=config.shockwave_queries)
+        ok = jnp.logical_and(ok, okg)
+        ec = opening.eval_claims
+        wlane = _GroupLaneEvals(_W_LANE_SPEC, ec[0], extra_pe[0])
+        idx = 1
+        if config.committed_circuit:
+            clane = _GroupLaneEvals(_c_lane_spec(proof.lookup_mode),
+                                    ec[idx], extra_pe[idx])
+            idx += 1
+        else:
+            clane = _direct_circuit_lanes(program, g, pts["c"])
+        llane = None
+        if proof.lookup_mode:
+            llane = _GroupLaneEvals(_L_LANE_SPEC, ec[idx], extra_pe[idx])
+            idx += 1
+            cntE = ec[idx][0]
+            idx += 1
+        # deferred boundary claim binding (wiring/lookup batch tops)
+        for bi, check in enumerate(w_checks):
+            ok = jnp.logical_and(ok, F.feq(ec[bound0 + bi][0],
+                                           check["want"][0]))
+            ok = jnp.logical_and(ok, F.feq(ec[bound0 + bi][1],
+                                           check["want"][1]))
     else:
-        clane = _direct_circuit_lanes(program, g, pts["c"])
-    llane = None
-    if proof.lookup_mode:
-        l_params = _pc_params(4 * g.np2, config, pc_rows)
-        t_params = _pc_params(g.TS, config, pc_rows)
-        oko, llane, state = _verify_multi(proof.lookup_root, pts["l"],
-                                          proof.l_open, l_params, state,
-                                          config, spec=_L_LANE_SPEC,
-                                          lane_bits=2, **uni)
+        if not isinstance(proof.open_proof, NaiveOpens):
+            return False, state      # structural: proof/config mode mismatch
+        opens = proof.open_proof
+        oko, wlane, state = _verify_multi(proof.witness_root, pts["w"],
+                                          opens.w, w_params, state, config,
+                                          spec=_W_LANE_SPEC, lane_bits=2)
         ok = jnp.logical_and(ok, oko)
-        oko, _, state = _verify_multi(proof.counts_root, pts["t"],
-                                      proof.t_open, t_params, state, config)
-        ok = jnp.logical_and(ok, oko)
-    if wlane is None or clane is None or (proof.lookup_mode and
-                                          llane is None):
-        return False, state          # structural reject (query mismatch)
+        if (opens.c is None) != (not config.committed_circuit):
+            return False, state      # structural: proof/config mode mismatch
+        if config.committed_circuit:
+            oko, clane, state = _verify_multi(
+                circuit_root, pts["c"], opens.c, c_params, state, config,
+                spec=_c_lane_spec(proof.lookup_mode), lane_bits=4)
+            ok = jnp.logical_and(ok, oko)
+        else:
+            clane = _direct_circuit_lanes(program, g, pts["c"])
+        llane = None
+        if proof.lookup_mode:
+            l_params = _pc_params(4 * g.np2, config, pc_rows)
+            t_params = _pc_params(g.TS, config, pc_rows,
+                                  b_cap=w_params.B)
+            oko, llane, state = _verify_multi(proof.lookup_root, pts["l"],
+                                              opens.l, l_params, state,
+                                              config, spec=_L_LANE_SPEC,
+                                              lane_bits=2)
+            ok = jnp.logical_and(ok, oko)
+            oko, _, state = _verify_multi(proof.counts_root, pts["t"],
+                                          opens.t, t_params, state, config)
+            ok = jnp.logical_and(ok, oko)
+            cntE = opens.t.eval_claims[0]
+        if wlane is None or clane is None or (proof.lookup_mode and
+                                              llane is None):
+            return False, state      # structural reject (query mismatch)
 
     # ---- lane evaluations ------------------------------------------------
     # lane 0 of each opened point is that opening's eval claim; nonzero
@@ -844,7 +994,7 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
         reads_e = F.fadd(reads_e, F.fmul(beta_s[s], term))
     writes_e = F.fadd(reads_e, F.fmul(
         b, F.fmul(F.fadd(F.fadd(beta_s[0], beta_s[1]), beta_s[2]), rgE)))
-    fvalE = proof.f_open.eval_claims[0]
+    fvalE = wlane(1, 3)              # fpoly = wpoly lane 3 at tau_w
     fidxE = clane(1, views.C_FIDX)
     fcntE = clane(1, views.C_FCNT)
     finpE = clane(1, views.C_FINP)
@@ -889,7 +1039,6 @@ def verify(proof: CircuitProof, program: trc.CircuitProgram,
             F.fmul(a[None, :],
                    jnp.stack([tab_vals, jnp.zeros_like(tab_vals)], axis=-1)))
         pubE = poly.evaluate_vector(pub, tau_ts)
-        cntE = proof.t_open.eval_claims[0]
         init_e = F.fadd(one, F.fmul(scale_ts, pubE))
         fin_e = F.fadd(one, F.fmul(scale_ts,
                                    F.fadd(pubE, F.fmul(b, cntE))))

@@ -505,12 +505,35 @@ def open_stream_multi_recursive(chunk_fn, com: ElasticCommitment, points,
                                 sw_queries: int = 240,
                                 v_min_len: int = 0, sw_pad: int = 0):
     """Open at every point in `points`; aggregates bound via ONE shockwave
-    commitment + batched recursion instead of transmission."""
+    commitment + batched recursion instead of transmission.
+
+    With a RESIDENT polynomial (full) in RS mode the ENTIRE opening —
+    aggregation, shockwave commit, query derivation, replies, Merkle
+    paths, and the whole recursion argument — runs as ONE jitted program:
+    the eager orchestration otherwise costs hundreds of dispatches over
+    the remote-attach tunnel (~10-50 ms each), which dominated the warm
+    open phase (ROADMAP round-4: open 33 s of which <3 s kernels)."""
     from . import recursion as rec
     from . import shockwave as sw_mod
     from ..utils.jitting import maybe_jit
 
     params = com.params
+    if full is not None and not params.linear_time:
+        from ..utils.jitting import JIT_ENABLED
+        if JIT_ENABLED:
+            lb = int(np.log2(params.B))
+            pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64)
+                             for x in points])
+            e_pidx = tuple(int(p) for p, _ in extra_points)
+            e_los = (jnp.stack([jnp.asarray(lo, dtype=jnp.uint64)
+                                for _, lo in extra_points])
+                     if extra_points else jnp.zeros((0, lb, 2), jnp.uint64))
+            cfg = (params.queries, params.rows, params.cols, params.B,
+                   params.K, params.linear_time, sw_queries, v_min_len,
+                   sw_pad, e_pidx, len(points))
+            return _open_multi_rec_rs(full, pts, e_los,
+                                      tuple(com.tree.levels[:-1]), state,
+                                      cfg)
     spec = enc.make_tensor_spec(params.B, params.rows, params.linear_time)
     lb = int(np.log2(params.B))
     P = len(points)
@@ -568,11 +591,30 @@ def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
 
     extra_evals are the recursion-bound evaluations at `extra_points`
     (cryptographically tied to the commitment via the shockwave multi-open;
-    callers use them for lane evaluations)."""
+    callers use them for lane evaluations).
+
+    RS mode runs as ONE jitted program per shape: query indices stay on
+    device end-to-end (everything is checked against the DERIVED queries,
+    so the prover's claimed index tuples are never consulted), and the
+    only host sync is the caller's final bool().  Eager replay cost ~100
+    dispatches x the remote-attach round trip per opening otherwise."""
     from . import recursion as rec
 
     lb = int(np.log2(params.B))
     P = len(points)
+
+    if not params.linear_time:
+        pts = jnp.stack([jnp.asarray(x, dtype=jnp.uint64) for x in points])
+        e_pidx = tuple(int(p) for p, _ in extra_points)
+        e_los = (jnp.stack([jnp.asarray(lo, dtype=jnp.uint64)
+                            for _, lo in extra_points])
+                 if extra_points else jnp.zeros((0, lb, 2), jnp.uint64))
+        op = opening._replace(rows_idx=(), cols_idx=(), leaf_ids=())
+        cfg = (params.queries, params.rows, params.cols, params.B,
+               params.K, sw_queries, v_min_len, sw_pad, e_pidx)
+        return _verify_multi_rec_rs(jnp.asarray(root), pts, op, e_los,
+                                    state, cfg)
+
     betas = jnp.stack([poly.beta_table(x[lb:]) for x in points])
 
     state = mimc.absorb(state,
@@ -613,6 +655,326 @@ def verify_multi_recursive(root, points, opening: ElasticMultiRecOpening,
             params.rows, params.B, state, sw_queries=sw_queries,
             v_min_len=v_min_len, sw_pad=sw_pad)
     return jnp.logical_and(okm, okr), extra_evals, state
+
+
+@functools.lru_cache(maxsize=64)
+def _open_multi_rec_rs_fn(cfg):
+    """Per-shape jitted whole-opening prover (RS mode, resident poly)."""
+    from ..utils.jitting import maybe_jit
+    from . import recursion as rec
+    from . import shockwave as sw_mod
+
+    (queries, rows, cols_t, B, K, linear_time, sw_queries, v_min_len,
+     sw_pad, e_pidx, P) = cfg
+    lb = int(np.log2(B))
+    spec = enc.make_tensor_spec(B, rows, linear_time)
+
+    @maybe_jit
+    def run(full, pts, e_los, tree_levels, state):
+        from ..parallel import mesh as meshmod
+
+        betas = jnp.stack([poly.beta_table(pts[p, lb:])
+                           for p in range(P)])       # [P, K, 2]
+        chunks = full.reshape(K, B, 2)
+
+        def abody(acc, xs):
+            b, chunk = xs
+            return F.fadd(acc, F.fmul(b[:, None, :], chunk[None])), None
+
+        aggrs, _ = jax.lax.scan(
+            abody, jnp.zeros((P, B, 2), dtype=jnp.uint64),
+            (jnp.moveaxis(betas, 0, 1), chunks))
+        eval_claims = jnp.stack(
+            [poly.evaluate_vector(aggrs[p], pts[p, :lb])
+             for p in range(P)])
+
+        V = rec.concat_aggregates(aggrs, min_len=v_min_len)
+        k = rec._sw_k_multi(V.shape[0])
+        cf = sw_mod.commit(V, k)
+        state = mimc.absorb(state,
+                            cf.outer.root.astype(jnp.uint64).reshape(4, 2))
+        state, qs = mimc.expand(state, queries)
+        qrows = (qs[:, 0] % (2 * rows)).astype(jnp.int32)
+        qcols = (qs[:, 1] % (2 * cols_t)).astype(jnp.int32)
+        lid = (qrows // 4) * (2 * cols_t) + qcols
+
+        def rbody(_, chunk):
+            codeword = enc.tensor_encode(spec, meshmod.shard_leading(chunk))
+            return None, std._leaf_groups(codeword)[lid]
+
+        _, rep = jax.lax.scan(rbody, None, chunks)   # [K, q, 4, 2]
+        reply = jnp.moveaxis(rep, 0, 1)
+        paths = merkle._open_leaves_kernel(tree_levels,
+                                           lid.astype(jnp.int64))
+
+        x_los = [pts[p, :lb] for p in range(P)]
+        extra = tuple((e_pidx[j], e_los[j]) for j in range(len(e_pidx)))
+        rproof, state = rec.rs_prove_multi(
+            V, cf, B, x_los, extra, qrows, qcols, rows, state,
+            sw_queries=sw_queries, sw_pad=sw_pad)
+        return ElasticMultiRecOpening(
+            eval_claims=eval_claims, cf_root=cf.outer.root, rows_idx=qrows,
+            cols_idx=qcols, reply=reply, paths=paths, recursion=rproof,
+            leaf_ids=lid,
+        ), state
+
+    return run
+
+
+def _open_multi_rec_rs(full, pts, e_los, tree_levels, state, cfg):
+    return _open_multi_rec_rs_fn(cfg)(full, pts, e_los, tree_levels, state)
+
+
+@functools.lru_cache(maxsize=64)
+def _verify_multi_rec_rs_fn(cfg):
+    """Per-shape jitted whole-opening verifier (RS mode)."""
+    from ..utils.jitting import maybe_jit
+    from . import recursion as rec
+
+    (queries, rows, cols_t, B, K, sw_queries, v_min_len, sw_pad,
+     e_pidx) = cfg
+    lb = int(np.log2(B))
+
+    @maybe_jit
+    def run(root, pts, op, e_los, state):
+        P = pts.shape[0]
+        state = mimc.absorb(state,
+                            op.cf_root.astype(jnp.uint64).reshape(4, 2))
+        state, qs = mimc.expand(state, queries)
+        qrows = (qs[:, 0] % (2 * rows)).astype(jnp.int32)
+        qcols = (qs[:, 1] % (2 * cols_t)).astype(jnp.int32)
+
+        betas = jnp.stack([poly.beta_table(pts[p, lb:])
+                           for p in range(P)])
+        rc = (qrows % 4)
+        q_ar = jnp.arange(queries)
+        combP = F.fsum(F.fmul(betas[:, None, :, None, :], op.reply[None]),
+                       axis=2)                        # [P, q, 4, 2]
+        comb_vals = combP[:, q_ar, rc]                # [P, q, 2]
+
+        prev = jnp.zeros((queries, 8), dtype=jnp.uint32)
+        for i in range(K):
+            prev = blake3.hash_chained_leaf(op.reply[:, i], prev)
+        leaf_ids = (qrows // 4) * (2 * cols_t) + qcols
+        okm = merkle.verify_leaves_device(root, prev, leaf_ids, op.paths)
+
+        x_los = [pts[p, :lb] for p in range(P)]
+        extra = tuple((e_pidx[j], e_los[j]) for j in range(len(e_pidx)))
+        okr, extra_evals, state = rec.rs_verify_multi(
+            op.recursion, op.cf_root, comb_vals, op.eval_claims, x_los,
+            extra, qrows, qcols, rows, B, state, sw_queries=sw_queries,
+            v_min_len=v_min_len, sw_pad=sw_pad)
+        return jnp.logical_and(okm, okr), extra_evals, state
+
+    return run
+
+
+def _verify_multi_rec_rs(root, pts, op, e_los, state, cfg):
+    return _verify_multi_rec_rs_fn(cfg)(root, pts, op, e_los, state)
+
+
+# ---------------------------------------------------------------------------
+# GROUP opening: the multi-point opens of SEVERAL Elastic commitments share
+# ONE shockwave commitment + merge sumcheck + inner WHIR (pc.recursion
+# group functions).  Per-entry data (replies, paths) stays per-commitment;
+# the ~200-400 KB recursion instance is paid once per proof instead of
+# once per commitment.
+# ---------------------------------------------------------------------------
+
+
+class GroupItem(NamedTuple):
+    """One commitment's share of a group opening.  The verifier builds
+    items from PUBLIC data only (params + points + extras); the prover
+    additionally supplies the Merkle tree and a data source."""
+    params: object                     # std.TensorPCParams
+    points: tuple                      # full opening points
+    chunk_fn: object = None            # streaming source (restartable)
+    full: object = None                # resident [N, 2] (fast path)
+    extra_points: tuple = ()           # (point_idx, lo_bits) lane extras
+    tree: object = None                # commitment Merkle tree (prover)
+
+
+class ElasticGroupOpening(NamedTuple):
+    eval_claims: tuple                 # per entry [P_e, 2]
+    cf_root: jnp.ndarray
+    replies: tuple                     # per entry [q, K_e, 4, 2]
+    paths: tuple                       # per entry [q, depth_e, 8]
+    leaf_ids: tuple                    # per entry [q] (accounting only)
+    recursion: object                  # rec.GroupRecursionProof
+
+
+def _group_entries(items, sw_queries):
+    from . import recursion as rec
+
+    qs = {it.params.queries for it in items}
+    assert len(qs) == 1, "group entries must share the query schedule"
+    entries = tuple(
+        rec.GroupEntry(length=it.params.N,
+                       K=it.params.K, B=it.params.B,
+                       rows=it.params.rows, cols=it.params.cols,
+                       queries=it.params.queries,
+                       n_points=len(it.points),
+                       n_extras=len(it.extra_points))
+        for it in items)
+    return entries
+
+
+def open_group_recursive(items, state, sw_queries: int = 240):
+    """Open every item's commitment at its points; ONE shared recursion.
+
+    Returns (ElasticGroupOpening, state).  Streaming items make two
+    passes over their chunk streams (aggregate, then query replies) with
+    O(B) resident; resident items run their passes as compiled scans.
+    Transcript: absorb shared shockwave root -> ONE query expansion
+    (each entry reduces the raw draws mod its own domains) -> merge
+    sumcheck + shared shockwave multi-open."""
+    import os
+    import sys
+    import time as _t
+
+    from . import recursion as rec
+    from . import shockwave as sw_mod
+
+    trace = os.environ.get("HOBBIT_TRACE") == "1"
+
+    def _tick(name, t0, val=None):
+        if trace:
+            import jax as _jax
+            if val is not None:
+                _jax.block_until_ready(val)
+            print(f"[group] {name}: {_t.perf_counter() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+        return _t.perf_counter()
+
+    t0 = _t.perf_counter()
+    entries = _group_entries(items, sw_queries)
+    B_slot, segs, n_seg, P2 = rec.group_layout(entries)
+    queries = entries[0].queries
+
+    # ---- pass A: per-entry aggregates -----------------------------------
+    aggrs_pe = []
+    evals_pe = []
+    x_los_pe = []
+    extras_pe = []
+    for it, e in zip(items, entries):
+        params = it.params
+        lb = int(np.log2(params.B))
+        betas = jnp.stack([poly.beta_table(jnp.asarray(x)[lb:])
+                           for x in it.points])
+        if it.full is not None:
+            aggr_fn, _ = _full_open_kernels(params)
+            aggrs = aggr_fn(it.full, betas)
+        else:
+            _, _, _aggr_step, _ = _stream_kernels(params)
+            aggrs = jnp.zeros((len(it.points), params.B, 2),
+                              dtype=jnp.uint64)
+            for i in range(params.K):
+                aggrs = _aggr_step(aggrs, betas[:, i], it.chunk_fn(i))
+        aggrs_pe.append(aggrs)
+        evals_pe.append(jnp.stack(
+            [poly.evaluate_vector(aggrs[p], jnp.asarray(it.points[p])[:lb])
+             for p in range(len(it.points))]))
+        x_los_pe.append([jnp.asarray(x, dtype=jnp.uint64)[:lb]
+                         for x in it.points])
+        extras_pe.append(tuple(
+            (int(pidx), jnp.asarray(lo, dtype=jnp.uint64))
+            for pidx, lo in it.extra_points))
+
+    t0 = _tick("passA", t0, aggrs_pe[-1])
+    V = rec.group_concat(entries, aggrs_pe, segs, P2, B_slot)
+    k = rec._sw_k_group(P2 * B_slot)
+    cf = sw_mod.commit(V, k)
+    t0 = _tick("sw_commit", t0, cf.outer.root)
+    state = mimc.absorb(state, cf.outer.root.astype(jnp.uint64).reshape(4, 2))
+    state, qs = mimc.expand(state, queries)
+    qrows_raw = qs[:, 0]
+    qcols_raw = qs[:, 1]
+
+    # ---- pass B: per-entry replies + paths ------------------------------
+    replies = []
+    paths = []
+    leaf_ids_pe = []
+    for it, e in zip(items, entries):
+        params = it.params
+        qrows = (qrows_raw % (2 * params.rows)).astype(jnp.int64)
+        qcols = (qcols_raw % (2 * params.cols)).astype(jnp.int64)
+        lid = (qrows // 4) * (2 * params.cols) + qcols
+        if it.full is not None:
+            _, reply_fn = _full_open_kernels(params)
+            reply = reply_fn(it.full, lid.astype(jnp.int32))
+        else:
+            _, _, _, _reply_kernel = _stream_kernels(params)
+            reps = [_reply_kernel(it.chunk_fn(i), lid.astype(jnp.int32))
+                    for i in range(params.K)]
+            reply = jnp.stack(reps, axis=1)
+        replies.append(reply)
+        paths.append(merkle.open_leaves(it.tree, lid))
+        leaf_ids_pe.append(lid)
+    t0 = _tick("replies+paths", t0, replies[-1])
+
+    rproof, state = rec.rs_prove_group(
+        V, cf, entries, segs, P2, B_slot, x_los_pe, extras_pe,
+        qrows_raw, qcols_raw, state, sw_queries=sw_queries)
+    t0 = _tick("merge+sw_open", t0, state)
+    return ElasticGroupOpening(
+        eval_claims=tuple(evals_pe), cf_root=cf.outer.root,
+        replies=tuple(replies), paths=tuple(paths),
+        leaf_ids=tuple(leaf_ids_pe), recursion=rproof,
+    ), state
+
+
+def verify_group_recursive(roots, items, opening: ElasticGroupOpening,
+                           state, sw_queries: int = 240):
+    """items: GroupItem stubs carrying (com-params via .com, points,
+    extra_points) — chunk_fn/full unused.  roots: per-entry commitment
+    roots.  Returns (ok, extra_evals_per_entry, state)."""
+    from . import recursion as rec
+
+    entries = _group_entries(items, sw_queries)
+    B_slot, segs, n_seg, P2 = rec.group_layout(entries)
+    queries = entries[0].queries
+
+    state = mimc.absorb(state,
+                        opening.cf_root.astype(jnp.uint64).reshape(4, 2))
+    state, qs = mimc.expand(state, queries)
+    qrows_raw = qs[:, 0]
+    qcols_raw = qs[:, 1]
+
+    ok = jnp.array(True)
+    comb_pe = []
+    x_los_pe = []
+    extras_pe = []
+    for ei, (it, e) in enumerate(zip(items, entries)):
+        params = it.params
+        lb = int(np.log2(params.B))
+        qrows = (qrows_raw % (2 * params.rows)).astype(jnp.int64)
+        qcols = (qcols_raw % (2 * params.cols)).astype(jnp.int64)
+        betas = jnp.stack([poly.beta_table(jnp.asarray(x)[lb:])
+                           for x in it.points])
+        reply = opening.replies[ei]
+        rc = (qrows % 4).astype(jnp.int32)
+        q_ar = jnp.arange(queries)
+        combP = F.fsum(F.fmul(betas[:, None, :, None, :], reply[None]),
+                       axis=2)
+        comb_pe.append(combP[:, q_ar, rc])
+        prev = jnp.zeros((queries, 8), dtype=jnp.uint32)
+        for i in range(params.K):
+            prev = blake3.hash_chained_leaf(reply[:, i], prev)
+        lid = (qrows // 4) * (2 * params.cols) + qcols
+        okm = merkle.verify_leaves_device(jnp.asarray(roots[ei]), prev,
+                                          lid, opening.paths[ei])
+        ok = jnp.logical_and(ok, okm)
+        x_los_pe.append([jnp.asarray(x, dtype=jnp.uint64)[:lb]
+                         for x in it.points])
+        extras_pe.append(tuple(
+            (int(pidx), jnp.asarray(lo, dtype=jnp.uint64))
+            for pidx, lo in it.extra_points))
+
+    okr, extra_evals, state = rec.rs_verify_group(
+        opening.recursion, opening.cf_root, comb_pe,
+        opening.eval_claims, entries, segs, P2, B_slot, x_los_pe,
+        extras_pe, qrows_raw, qcols_raw, state, sw_queries=sw_queries)
+    return jnp.logical_and(ok, okr), extra_evals, state
 
 
 def lane_eval(opening, pidx: int, lo_bits):

@@ -654,6 +654,237 @@ def _eq_eval(r1, r2):
     return acc
 
 
+# ---------------------------------------------------------------------------
+# GROUP recursion: ONE shockwave commitment + ONE merge sumcheck + ONE
+# inner WHIR covering the openings of SEVERAL Elastic commitments (of
+# possibly different geometries).  Every (entry, point) pair becomes one
+# B_slot-sized segment of the shared vector V; entry aggregates shorter
+# than B_slot zero-pad (their MLE then carries (1-x) factors on the pad
+# coords, which the verifier accounts for transparently).  Each
+# standalone instance costs ~200-400 KB of queries/levels/paths at the
+# production schedule, so merging n instances saves ~(n-1) of those.
+# ---------------------------------------------------------------------------
+
+
+class GroupEntry(NamedTuple):
+    """Static geometry of one commitment in a group opening."""
+    length: int          # polynomial length (K * B)
+    K: int
+    B: int
+    rows: int
+    cols: int
+    queries: int
+    n_points: int        # opened points
+    n_extras: int        # extra (lane) evaluation points
+
+
+class GroupRecursionProof(NamedTuple):
+    p_main: sc.SumcheckProof                 # <V, W_full> merge sumcheck
+    sw_multi: sw.ShockwaveMultiOpening       # cf at [pt] + all segments
+
+
+def group_layout(entries):
+    """(B_slot, segment ranges, P2): entry e's points occupy segments
+    [seg0_e, seg0_e + n_points_e); extras follow all points."""
+    B_slot = max(e.B for e in entries)
+    segs = []
+    s = 0
+    for e in entries:
+        segs.append(s)
+        s += e.n_points
+    P2 = pad_points(s)
+    return B_slot, tuple(segs), s, P2
+
+
+def _pad_lo(lo, lb_e: int, lb_slot: int):
+    """Zero-extend an x_lo of lb_e coords to lb_slot (pad coords bind the
+    zero-padded tail of the segment: MLE_pad(x || 0s) = MLE(x))."""
+    if lb_e == lb_slot:
+        return lo
+    return jnp.concatenate(
+        [lo, jnp.zeros((lb_slot - lb_e, 2), jnp.uint64)], axis=0)
+
+
+def _group_sw_points(pt, entries, x_los_per_entry, extras_per_entry,
+                     segs, P2: int, lb_slot: int):
+    """Shockwave points over V's domain: merge-sumcheck point, then every
+    (entry, point) segment evaluation, then every entry's extras."""
+    lpb = int(np.log2(P2)) if P2 > 1 else 0
+    pts = [pt]
+    for ei, e in enumerate(entries):
+        lb_e = int(np.log2(e.B))
+        for p in range(e.n_points):
+            lo = _pad_lo(x_los_per_entry[ei][p], lb_e, lb_slot)
+            s = segs[ei] + p
+            pts.append(jnp.concatenate([lo, _bool_point(s, lpb)], axis=0)
+                       if lpb else lo)
+    for ei, e in enumerate(entries):
+        lb_e = int(np.log2(e.B))
+        for pidx, lo in extras_per_entry[ei]:
+            s = segs[ei] + int(pidx)
+            lo = _pad_lo(lo, lb_e, lb_slot)
+            pts.append(jnp.concatenate([lo, _bool_point(s, lpb)], axis=0)
+                       if lpb else lo)
+    return pts
+
+
+def _entry_weight(e: GroupEntry, u, qrows, qcols):
+    """Entry e's RLC weight matrix W_e [rows*cols, 2] from ITS query
+    residues (indices shared across the group, moduli per geometry)."""
+    wR = F.root_of_unity(int(np.log2(2 * e.rows)))
+    wC = F.root_of_unity(int(np.log2(2 * e.cols)))
+    baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)),
+                       qrows % (2 * e.rows), 2 * e.rows)
+    baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)),
+                       qcols % (2 * e.cols), 2 * e.cols)
+    return _rlc_weight_matrix(u, baseR, baseC, e.rows, e.cols), baseR, baseC
+
+
+def _sw_k_group(V: int) -> int:
+    """Shockwave row count for the GROUP commitment: column length capped
+    at 2^16 (k = V/2^16).  Columns are what queries transmit (k*16 B per
+    query), WHIR folds the cols-length aggregate; 2^16 balances the two
+    at the production schedule while keeping every WHIR array under the
+    TPU compile service's expensive-op threshold (~2^18).  The k >= 16
+    floor keeps SMALL groups' column length <= V/16 — XLA:CPU hits a
+    pathological "very slow compile" on the WHIR fold replay around
+    cols = 2^14 (the test tier runs on CPU)."""
+    return max(4, min(max(16, V >> 16), 1 << (int(np.log2(V)) // 2)))
+
+
+def group_concat(entries, aggrs_per_entry, segs, P2: int, B_slot: int):
+    """V [P2*B_slot, 2]: segment s = (entry e, point p) holds aggr_{e,p}
+    zero-padded to B_slot; segments past the last point are zero."""
+    parts = []
+    for ei, e in enumerate(entries):
+        a = aggrs_per_entry[ei]                      # [P_e, B_e, 2]
+        if e.B < B_slot:
+            a = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], B_slot - e.B, 2), jnp.uint64)],
+                axis=1)
+        parts.append(a.reshape(-1, 2))
+    n_seg = segs[-1] + entries[-1].n_points
+    V = jnp.concatenate(parts, axis=0)
+    if P2 > n_seg:
+        V = jnp.concatenate(
+            [V, jnp.zeros(((P2 - n_seg) * B_slot, 2), jnp.uint64)], axis=0)
+    return V
+
+
+def rs_prove_group(V, cf, entries, segs, P2: int, B_slot: int,
+                   x_los_per_entry, extras_per_entry, qrows_raw, qcols_raw,
+                   state, sw_queries: int = 240):
+    """Merge sumcheck + shared shockwave multi-open for a group opening.
+
+    qrows_raw/qcols_raw: UNREDUCED query draws (device ints) shared by
+    the group — each entry reduces them mod its own row/column domains.
+    The caller committed V with shockwave (cf) and absorbed the root
+    BEFORE deriving the queries.  Returns (GroupRecursionProof, state)."""
+    q = qrows_raw.shape[0]
+    lbs = int(np.log2(B_slot))
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, q)
+
+    W_parts = []
+    for ei, e in enumerate(entries):
+        W_e, _, _ = _entry_weight(e, u, qrows_raw, qcols_raw)
+        W_flat = W_e.reshape(e.B, 2)
+        if e.B < B_slot:
+            W_flat = jnp.concatenate(
+                [W_flat, jnp.zeros((B_slot - e.B, 2), jnp.uint64)], axis=0)
+        for p in range(e.n_points):
+            sI = segs[ei] + p
+            W_parts.append(F.fmul(gammas[sI][None, :], W_flat))
+    n_seg = segs[-1] + entries[-1].n_points
+    W_full = jnp.concatenate(W_parts, axis=0)
+    if P2 > n_seg:
+        W_full = jnp.concatenate(
+            [W_full, jnp.zeros(((P2 - n_seg) * B_slot, 2), jnp.uint64)],
+            axis=0)
+
+    p_main, state = sc.prove_2product(V, W_full, state)
+    sw_pts = _group_sw_points(p_main.challenges, entries, x_los_per_entry,
+                              extras_per_entry, segs, P2, lbs)
+    sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
+    return GroupRecursionProof(p_main, sw_open), state
+
+
+def rs_verify_group(proof: GroupRecursionProof, cf_root, comb_per_entry,
+                    eval_claims_per_entry, entries, segs, P2: int,
+                    B_slot: int, x_los_per_entry, extras_per_entry,
+                    qrows_raw, qcols_raw, state, sw_queries: int = 240):
+    """Returns (ok, extra_evals_per_entry, state)."""
+    q = qrows_raw.shape[0]
+    lbs = int(np.log2(B_slot))
+    n_seg = segs[-1] + entries[-1].n_points
+    lpb = int(np.log2(P2)) if P2 > 1 else 0
+
+    state, gam = mimc.squeeze1(state)
+    gammas = poly.powers(gam, P2)
+    state, s = mimc.squeeze1(state)
+    u = poly.powers(s, q)
+
+    claim = F.scalar(0)
+    for ei, e in enumerate(entries):
+        comb = comb_per_entry[ei]                    # [P_e, q, 2]
+        part = F.fsum(F.fmul(u[None], comb), axis=1)  # [P_e, 2]
+        for p in range(e.n_points):
+            claim = F.fadd(claim,
+                           F.fmul(gammas[segs[ei] + p], part[p]))
+
+    ok, pt, cur, state = sc.verify_product_sumcheck(proof.p_main, claim,
+                                                    state, 2)
+    pt_lo, w = pt[:lbs], pt[lbs:]
+    one = F.scalar(1)
+    beta_w = poly.beta_table(w) if lpb else jnp.zeros((1, 2),
+                                                      jnp.uint64).at[0, 0].set(1)
+    want = F.scalar(0)
+    for ei, e in enumerate(entries):
+        lcb = int(np.log2(e.cols))
+        lr = int(np.log2(e.rows))
+        z_e, y_e = pt_lo[:lcb], pt_lo[lcb:lcb + lr]
+        wR = F.root_of_unity(int(np.log2(2 * e.rows)))
+        wC = F.root_of_unity(int(np.log2(2 * e.cols)))
+        baseR = _pow_bases(jnp.asarray(np.array(wR, np.uint64)),
+                           qrows_raw % (2 * e.rows), 2 * e.rows)
+        baseC = _pow_bases(jnp.asarray(np.array(wC, np.uint64)),
+                           qcols_raw % (2 * e.cols), 2 * e.cols)
+        We_t = F.fsum(F.fmul(u, F.fmul(_dft_mle_batch(baseR, y_e),
+                                       _dft_mle_batch(baseC, z_e))),
+                      axis=0)
+        for b in range(lcb + lr, lbs):               # zero-pad coords
+            We_t = F.fmul(We_t, F.fsub(one, pt_lo[b]))
+        for p in range(e.n_points):
+            sI = segs[ei] + p
+            want = F.fadd(want, F.fmul(F.fmul(gammas[sI], beta_w[sI]),
+                                       We_t))
+    ok = jnp.logical_and(ok, F.feq(proof.p_main.final_evals[1], want))
+
+    sw_pts = _group_sw_points(pt, entries, x_los_per_entry,
+                              extras_per_entry, segs, P2, lbs)
+    k = _sw_k_group(P2 * B_slot)
+    oks, state = sw.verify_multi(cf_root, proof.sw_multi, sw_pts, k,
+                                 P2 * B_slot, state, queries=sw_queries)
+    ok = jnp.logical_and(ok, oks)
+    swc = proof.sw_multi.eval_claims
+    ok = jnp.logical_and(ok, F.feq(swc[0], proof.p_main.final_evals[0]))
+    for ei, e in enumerate(entries):
+        for p in range(e.n_points):
+            sI = segs[ei] + p
+            ok = jnp.logical_and(
+                ok, F.feq(swc[1 + sI], eval_claims_per_entry[ei][p]))
+    # extra claims follow all segment claims, entry-major
+    extra_evals = []
+    base = 1 + n_seg
+    for ei, e in enumerate(entries):
+        extra_evals.append(swc[base:base + e.n_extras])
+        base += e.n_extras
+    return ok, tuple(extra_evals), state
+
+
 __all__ = ["RSRecursionProof", "SpielmanRecursionProof",
            "MultiRecursionProof", "pad_points", "padded_points",
            "concat_aggregates",

@@ -295,14 +295,22 @@ C_LANES = 16
 L_LM, L_RM, L_OM, L_RANK = 0, 1, 2, 3
 
 
-def witness_lane_chunk(tr: trc.Trace):
+def witness_lane_chunk(tr: trc.Trace, fin=None):
     """[4*B, 2] chunk of wpoly from a B-gate trace chunk: slot 4t+lane =
-    (v_l, v_r, v_o, 0)."""
+    (v_l, v_r, v_o, fin_t).
+
+    Lane 3 carries the death-order final wire values (the former
+    standalone fpoly): slot index t < num_wires holds fin_val[t], so ONE
+    commitment binds both the gate lanes and the final-value polynomial
+    (fpoly's MLE = wpoly restricted to lane bits (1,1)).  ``fin`` is the
+    aligned [B, 2] final-value chunk (zeros when absent)."""
     B = tr.types.shape[0]
     lanes = jnp.zeros((B, 4, 2), dtype=jnp.uint64)
     lanes = lanes.at[:, 0].set(tr.val_l)
     lanes = lanes.at[:, 1].set(tr.val_r)
     lanes = lanes.at[:, 2].set(tr.val_o)
+    if fin is not None:
+        lanes = lanes.at[:, 3].set(fin)
     return lanes.reshape(4 * B, 2)
 
 

@@ -94,9 +94,19 @@ def _sizer_queries_paths(nt) -> tuple:
 
 
 def _sizer_leaf_ids_paths(nt) -> tuple:
-    if not nt.leaf_ids:                      # legacy instance: raw count
-        return (int(nt.paths.nbytes), ("paths",))
-    return (32 * _dedup_digests(nt.leaf_ids, nt.paths.shape[-2]), ("paths",))
+    # query indices are Fiat-Shamir-derived (the verifier recomputes
+    # them), so they are never transmitted — always skipped; fused-open
+    # instances carry them as device arrays instead of host tuples
+    skip = ("paths", "leaf_ids", "rows_idx", "cols_idx")
+    ids = nt.leaf_ids
+    if hasattr(ids, "shape"):
+        import numpy as _np
+        ids = [int(v) for v in _np.asarray(ids)]
+    else:
+        ids = list(ids)
+    if not ids:                              # legacy instance: raw count
+        return (int(nt.paths.nbytes), skip)
+    return (32 * _dedup_digests(ids, nt.paths.shape[-2]), skip)
 
 
 def _sizer_whir_level(nt) -> tuple:
@@ -106,7 +116,18 @@ def _sizer_whir_level(nt) -> tuple:
 # Per-opening dedup accounting: type name -> fn(nt) -> (bytes, handled
 # field names).  Unregistered types fall back to raw nbytes (an upper
 # bound, never an understatement).
+def _sizer_group(nt) -> tuple:
+    """ElasticGroupOpening: per-entry dedup'd paths; derived indices free."""
+    import numpy as _np
+    total = 0
+    for ids, paths in zip(nt.leaf_ids, nt.paths):
+        ids = [int(v) for v in _np.asarray(ids)]
+        total += 32 * _dedup_digests(ids, paths.shape[-2])
+    return (total, ("paths", "leaf_ids"))
+
+
 _PATH_SIZERS = {
+    "ElasticGroupOpening": _sizer_group,
     "ShockwaveOpening": _sizer_queries_paths,
     "ElasticOpening": _sizer_leaf_ids_paths,
     "ElasticRecursiveOpening": _sizer_leaf_ids_paths,
@@ -157,4 +178,31 @@ def proof_size_kb(proof, dedup: bool = True) -> float:
     return total / 1024.0
 
 
-__all__ = ["Metrics", "GLOBAL", "proof_size_kb"]
+def size_breakdown(proof, min_kb: float = 10.0, prefix: str = "") -> list:
+    """[(path, kb)] for every pytree node whose RAW byte count exceeds
+    ``min_kb`` — the drill-down tool behind proof-size work.  Raw (no
+    path dedup), so parents may exceed the dedup'd ``proof_size_kb``."""
+    out = []
+
+    def walk(x, path):
+        if hasattr(x, "_fields"):
+            for name, v in zip(x._fields, x):
+                if name == "timings":
+                    continue
+                walk(v, f"{path}.{name}")
+        elif isinstance(x, dict):
+            for k, v in x.items():
+                walk(v, f"{path}[{k}]")
+        elif isinstance(x, (list, tuple)):
+            for i, v in enumerate(x):
+                walk(v, f"{path}[{i}]")
+        elif hasattr(x, "nbytes") and hasattr(x, "dtype"):
+            kb = int(x.nbytes) / 1024.0
+            if kb >= min_kb:
+                out.append((path, round(kb, 1)))
+
+    walk(proof, prefix)
+    return sorted(out, key=lambda t: -t[1])
+
+
+__all__ = ["Metrics", "GLOBAL", "proof_size_kb", "size_breakdown"]

@@ -63,26 +63,26 @@ def main(log_n=17, buffer_bits=19, warm_runs=1, committed_circuit=False):
     print(json.dumps({"total_kb": round(total, 1), "parts": parts},
                      indent=1))
 
-    # drill into the biggest opens
-    for name in ("w_open", "c_open", "l_open", "f_open", "t_open"):
-        op = getattr(proof, name)
-        if op is None:
+    # drill into the opening (group or per-commitment)
+    op = proof.open_proof
+    sub = {}
+    for f in op._fields:
+        v = getattr(op, f)
+        if v is None:
             continue
-        sub = {}
-        for f in op._fields:
-            v = getattr(op, f)
-            if v is None:
-                continue
-            sub[f] = round(metrics.proof_size_kb(v), 1)
-        # metrics walks NamedTuples with dedup; per-field walk of paths
-        # is raw — recompute the dedup'd figure for the whole opening
-        sub["_dedup_total"] = round(metrics.proof_size_kb(op), 1)
-        print(name, json.dumps(sub))
-        rec = getattr(op, "recursion", None)
-        if rec is not None and hasattr(rec, "_fields"):
-            rsub = {f: round(metrics.proof_size_kb(getattr(rec, f)), 1)
-                    for f in rec._fields if getattr(rec, f) is not None}
-            print(name + ".recursion", json.dumps(rsub))
+        sub[f] = round(metrics.proof_size_kb(v), 1)
+    # metrics walks NamedTuples with dedup; per-field walk of paths is
+    # raw — recompute the dedup'd figure for the whole opening
+    sub["_dedup_total"] = round(metrics.proof_size_kb(op), 1)
+    print("open_proof", json.dumps(sub))
+    rec = getattr(op, "recursion", None)
+    if rec is not None and hasattr(rec, "_fields"):
+        rsub = {f: round(metrics.proof_size_kb(getattr(rec, f)), 1)
+                for f in rec._fields if getattr(rec, f) is not None}
+        print("open_proof.recursion", json.dumps(rsub))
+
+    for path, kb in metrics.size_breakdown(proof, min_kb=20.0):
+        print(f"  RAW {kb:9.1f} KB  {path}")
 
     t0 = time.time()
     ok = prover.verify(proof, prog, cfg, ccom.root, pc_rows=256)

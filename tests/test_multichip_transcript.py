@@ -42,8 +42,6 @@ def test_sharded_transcript_equals_single_device():
     assert bool(ok)
     assert np.array_equal(np.asarray(proof0.witness_root),
                           np.asarray(proof1.witness_root))
-    assert np.array_equal(np.asarray(proof0.final_root),
-                          np.asarray(proof1.final_root))
     assert np.array_equal(np.asarray(st0), np.asarray(st1))
 
 

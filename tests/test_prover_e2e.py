@@ -105,7 +105,8 @@ def test_e2e_uncommitted_circuit_fun1():
     x = C.fun1_inputs(prog.num_inputs)
     proof, ccom, ok = _roundtrip(prog, x, cfg=cfg)
     assert ok
-    assert proof.c_open is None
+    # group opening carries only the witness entry (no circuit entry)
+    assert len(proof.open_proof.eval_claims) == 1
 
 
 def test_e2e_uncommitted_circuit_lookup():
@@ -115,7 +116,8 @@ def test_e2e_uncommitted_circuit_lookup():
     x = C.fun2_inputs(4)
     proof, ccom, ok = _roundtrip(prog, x, cfg=cfg)
     assert ok
-    assert proof.c_open is None
+    # group entries: witness, lookup, counts (no circuit entry)
+    assert len(proof.open_proof.eval_claims) == 3
     # mode mismatch is a structural reject, both directions
     okb, _ = prover.verify(proof, prog, CFG, ccom.root, pc_rows=4)
     assert not bool(okb)
