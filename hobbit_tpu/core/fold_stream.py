@@ -90,8 +90,7 @@ def prove(chunk_fn: Callable[[int], dict], names: Sequence[str],
         for g in groups:
             terms.extend(_group_coeffs(beta, folds, cur, g))
         terms = jnp.stack(terms)
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
+        state, w = mimc.absorb_squeeze1(state, terms)
         wp = w
         ti = 0
         for gi, g in enumerate(groups):
@@ -159,8 +158,7 @@ def verify(proof: FoldStreamProof, B: int, r, state):
     S = [F.scalar(0) for _ in groups]
     for i in range(K):
         terms = proof.per_chunk[i]
-        state = mimc.absorb(state, terms)
-        state, w = mimc.squeeze1(state)
+        state, w = mimc.absorb_squeeze1(state, terms)
         ti = 0
         for gi, g in enumerate(groups):
             wp = w

@@ -92,8 +92,7 @@ def _chunk_step(beta, folds, cur, C, state):
     folds = {a: meshmod.shard_leading(v) for a, v in folds.items()}
     cur = {a: meshmod.shard_leading(v) for a, v in cur.items()}
     terms = _chunk_terms(beta, folds, cur)
-    state = mimc.absorb(state, terms)
-    state, w = mimc.squeeze1(state)
+    state, w = mimc.absorb_squeeze1(state, terms)
     w2 = F.fmul(w, w)
     w3 = F.fmul(w2, w)
     C0 = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))
@@ -113,8 +112,7 @@ def _bind_step(beta_rho, cur):
 @maybe_jit
 def _vchunk_step(terms, bk, C, true_claim, state):
     """Verifier-side per-chunk replay: one compiled kernel per shape."""
-    state = mimc.absorb(state, terms)
-    state, w = mimc.squeeze1(state)
+    state, w = mimc.absorb_squeeze1(state, terms)
     w2 = F.fmul(w, w)
     w3 = F.fmul(w2, w)
     C0 = F.fadd(C[0], F.fadd(F.fmul(w, terms[0]), F.fmul(w2, terms[1])))

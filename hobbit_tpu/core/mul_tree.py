@@ -131,14 +131,24 @@ def prove(vectors: Sequence[jnp.ndarray], state):
     for i in range(depth - 1, -1, -1):
         n_i = in1s[i].shape[0]
         rounds_i = int(np.log2(n_i))
-        pad = maxn - n_i
+        # bucketed pad width: a SINGLE full-width executable made every
+        # level cost maxn work (~19x the honest total); per-level pads
+        # step down 16x to the smallest bucket that fits, keeping
+        # executables to ~2-3 shapes while bounding waste at 16x the
+        # true size.  Transcripts are pad-invariant (inactive
+        # rounds/pairs contribute nothing).
+        W = maxn
+        while W > 64 and n_i <= W >> 4:
+            W >>= 4
+        logW = int(np.log2(W))
+        pad = W - n_i
         in1p = jnp.concatenate(
             [in1s[i], jnp.zeros((pad, 2), jnp.uint64)]) if pad else in1s[i]
         in2p = jnp.concatenate(
             [in2s[i], jnp.zeros((pad, 2), jnp.uint64)]) if pad else in2s[i]
         ppad = jnp.concatenate(
-            [point] + [zrow] * (log_max - point.shape[0]), axis=0) \
-            if point.shape[0] < log_max else point
+            [point[:logW]] + [zrow] * max(0, logW - point.shape[0]),
+            axis=0)
         pf, c, state = _level_step_padded(in1p, in2p, ppad, n_i, state)
         proof = sc.SumcheckProof(polys=pf.polys[:rounds_i],
                                  challenges=pf.challenges[:rounds_i],

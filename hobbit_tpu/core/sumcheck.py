@@ -115,8 +115,7 @@ def _product_sumcheck_scan(arrays, state):
             acc = new
         # descending powers to match the unrolled layout
         coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
-        state2 = mimc.absorb(state, coeffs)
-        state2, r = mimc.squeeze1(state2)
+        state2, r = mimc.absorb_squeeze1(state, coeffs)
         folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
         vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
         return (vs2, state2), (coeffs, r)
@@ -166,8 +165,7 @@ def _product_sumcheck_scan_padded(arrays, n_active, state):
                     else F.fadd(new[d + 1], t1)
             acc = new
         coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
-        state2 = mimc.absorb(state, coeffs)
-        state2, r = mimc.squeeze1(state2)
+        state2, r = mimc.absorb_squeeze1(state, coeffs)
         folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
         vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
         vs_out = jnp.where(active, vs2, vs)
@@ -216,8 +214,7 @@ def verify_product_sumcheck(proof: SumcheckProof, claim, state, degree: int = 0)
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
-        state = mimc.absorb(state, coeffs)
-        state, r = mimc.squeeze1(state)
+        state, r = mimc.absorb_squeeze1(state, coeffs)
         cur = poly.univariate_eval(coeffs[::-1], r)
         return (ok, cur, state), r
 
@@ -318,8 +315,7 @@ def _verify_3product_batch(proof: BatchSumcheckProof, claim, weights,
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
-        state = mimc.absorb(state, coeffs)
-        state, r = mimc.squeeze1(state)
+        state, r = mimc.absorb_squeeze1(state, coeffs)
         cur = poly.univariate_eval(coeffs[::-1], r)
         return (ok, cur, state), r
 
@@ -355,6 +351,34 @@ class MixedSumcheckProof(NamedTuple):
     final_evals: dict         # name -> [2]
 
 
+@functools.lru_cache(maxsize=None)
+def _vand_inv(D: int) -> np.ndarray:
+    """Inverse Vandermonde at points 0..D over GF(p), as [D+1, D+1, 2]
+    real field constants: coeffs_ascending = Minv @ evals.  Exact — the
+    evaluation-form round bodies recover the SAME coefficients symbolic
+    accumulation produced (field arithmetic has no rounding)."""
+    Pint = int(F.P)
+    m = [[pow(i, j, Pint) for j in range(D + 1)] for i in range(D + 1)]
+    # Gauss-Jordan mod p
+    inv = [[1 if i == j else 0 for j in range(D + 1)] for i in range(D + 1)]
+    for col in range(D + 1):
+        piv = next(r for r in range(col, D + 1) if m[r][col] % Pint)
+        m[col], m[piv] = m[piv], m[col]
+        inv[col], inv[piv] = inv[piv], inv[col]
+        s = pow(m[col][col], Pint - 2, Pint)
+        m[col] = [v * s % Pint for v in m[col]]
+        inv[col] = [v * s % Pint for v in inv[col]]
+        for r in range(D + 1):
+            if r != col and m[r][col]:
+                f = m[r][col]
+                m[r] = [(a - f * b) % Pint for a, b in zip(m[r], m[col])]
+                inv[r] = [(a - f * b) % Pint
+                          for a, b in zip(inv[r], inv[col])]
+    out = np.zeros((D + 1, D + 1, 2), dtype=np.uint64)
+    out[:, :, 0] = np.array(inv, dtype=np.uint64)
+    return out
+
+
 @maybe_jit(static_argnums=(1,))
 def prove_mixed(arrays: dict, groups, weights, state):
     """Sumcheck of sum_g w_g * sum_x prod_{a in g} arrays[a][x].
@@ -365,8 +389,15 @@ def prove_mixed(arrays: dict, groups, weights, state):
     Used by the fold-phase gate consistency (terms of degree 2 and 3 share
     beta and selector arrays).
 
-    Fixed-shape masked lax.scan over the rounds (see _product_sumcheck_scan
-    — one small compile per size, identical transcripts)."""
+    Fixed-shape masked lax.scan over the rounds.  The round polynomial is
+    computed in EVALUATION form — the factors are evaluated at
+    t = 0..maxdeg by repeated slope additions, every group's product runs
+    as one log-depth batched multiply, and the descending coefficients
+    come from one batched inverse-Vandermonde contraction.  Symbolic
+    per-group coefficient accumulation lowered to ~160 field-multiply ops
+    per round body, and the remote TPU compile service charges 0.1-0.3 s
+    PER LOWERED OP — this form is ~10x fewer ops with bit-identical
+    transcripts (exact arithmetic, same polynomial)."""
     names = tuple(sorted(arrays.keys()))
     n = arrays[names[0]].shape[0]
     rounds = int(np.log2(n))
@@ -381,38 +412,54 @@ def prove_mixed(arrays: dict, groups, weights, state):
             jnp.zeros((0, maxdeg + 1, 2), jnp.uint64),
             jnp.zeros((0, 2), jnp.uint64), finals), state
 
+    G = len(groups)
+    M = maxdeg                                      # max members per group
+    # static member-gather indices; padding slots multiply by one
+    midx = np.zeros((G, M), dtype=np.int32)
+    mpad = np.zeros((G, M, 1, 1), dtype=bool)
+    for gi, g in enumerate(groups):
+        for s in range(M):
+            if s < len(g):
+                midx[gi, s] = pos[g[s]]
+            else:
+                mpad[gi, s] = True
+    midx_j = jnp.asarray(midx.reshape(-1))
+    mpad_j = jnp.asarray(mpad)
+    one_f = jnp.zeros((2,), dtype=jnp.uint64).at[0].set(1)
+    minv = jnp.asarray(_vand_inv(M))                # [M+1, M+1, 2]
+
     idx = jnp.arange(n // 2, dtype=jnp.int32)
-    ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
 
     def body(carry, i):
         vs, state = carry
         m_half = n >> (i + 1)
-        mask = (idx < m_half)[:, None]
+        mask = (idx < m_half)[None, :, None]
         v0 = vs[:, 0::2]
         v1 = vs[:, 1::2]
         slope = F.fsub(v1, v0)
-        total = None
-        for gi, g in enumerate(groups):
-            acc = [jnp.where(mask, ones, 0)]
-            for a in g:
-                j = pos[a]
-                new = [None] * (len(acc) + 1)
-                for d, c in enumerate(acc):
-                    t0 = F.fmul(c, v0[j])
-                    t1 = F.fmul(c, slope[j])
-                    new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
-                    new[d + 1] = t1 if new[d + 1] is None \
-                        else F.fadd(new[d + 1], t1)
-                acc = new
-            coeffs = jnp.stack([F.fsum(c) for c in reversed(acc)])
-            if coeffs.shape[0] < maxdeg + 1:
-                pad = jnp.zeros((maxdeg + 1 - coeffs.shape[0], 2),
-                                dtype=coeffs.dtype)
-                coeffs = jnp.concatenate([pad, coeffs], axis=0)
-            coeffs = F.fmul(coeffs, weights[gi][None, :])
-            total = coeffs if total is None else F.fadd(total, coeffs)
-        state2 = mimc.absorb(state, total)
-        state2, r = mimc.squeeze1(state2)
+        evals = []
+        vt = v0
+        for t in range(M + 1):
+            if t > 0:
+                vt = F.fadd(vt, slope)              # factor values at t
+            sel = vt[midx_j].reshape(G, M, n // 2, 2)
+            sel = jnp.where(mpad_j, one_f, sel)
+            cur, m = sel, M
+            while m > 1:                            # log-depth product
+                if m % 2:
+                    cur = jnp.concatenate(
+                        [cur, jnp.broadcast_to(
+                            one_f, (G, 1) + cur.shape[2:])], axis=1)
+                    m += 1
+                cur = F.fmul(cur[:, 0::2], cur[:, 1::2])
+                m //= 2
+            prodv = jnp.where(mask, cur[:, 0], 0)
+            evals.append(F.fsum(prodv, axis=1))     # [G, 2]
+        ev = jnp.stack(evals, axis=1)               # [G, M+1, 2]
+        # ascending coeffs = Minv @ evals, batched over groups (exact)
+        casc = F.fsum(F.fmul(minv[None], ev[:, None, :, :]), axis=2)
+        total = F.fsum(F.fmul(weights[:, None, :], casc[:, ::-1]), axis=0)
+        state2, r = mimc.absorb_squeeze1(state, total)
         folded = F.fadd(v0, F.fmul(r[None, None, :], slope))
         vs2 = jnp.concatenate([folded, jnp.zeros_like(folded)], axis=1)
         return (vs2, state2), (total, r)
@@ -441,8 +488,7 @@ def verify_mixed(proof: MixedSumcheckProof, claim, groups, weights, state):
         s0 = poly.univariate_eval(coeffs[::-1], zero)
         s1 = poly.univariate_eval(coeffs[::-1], one)
         ok = jnp.logical_and(ok, F.feq(F.fadd(s0, s1), cur))
-        state = mimc.absorb(state, coeffs)
-        state, r = mimc.squeeze1(state)
+        state, r = mimc.absorb_squeeze1(state, coeffs)
         cur = poly.univariate_eval(coeffs[::-1], r)
         return (ok, cur, state), r
 

@@ -117,8 +117,11 @@ def build_from_digests(leaves, backend: str = "blake3") -> MerkleTree:
     while cur.shape[0] > 1:
         cur = pairs(cur[0::2], cur[1::2])
         levels.append(cur)
-    stack = _LazyStack() if n > 1 else None
-    return MerkleTree(levels=tuple(levels), backend=backend, stack=stack)
+    # no padded stack: eager path opens use the single-compile per-level
+    # gather kernel; a stack (~log2(n) x leaf-level memory, e.g. 318 MB at
+    # 2^19 leaves) only pays off INSIDE large jitted programs, where the
+    # caller (shockwave) builds its own
+    return MerkleTree(levels=tuple(levels), backend=backend, stack=None)
 
 
 def commit_fields(values, backend: str = "blake3") -> MerkleTree:

@@ -183,8 +183,7 @@ def prove(com: WhirCommitment, values, x, state,
             cB = F.fadd(F.fsum(F.fmul(a1, b2)), F.fsum(F.fmul(a2, b1)))
             cC = F.fsum(F.fmul(b1, b2))
             coeffs3 = jnp.stack([cA, cB, cC])
-            state = mimc.absorb(state, coeffs3)
-            state, r = mimc.squeeze1(state)
+            state, r = mimc.absorb_squeeze1(state, coeffs3)
             v = poly.fold_once(v, r)
             b = poly.fold_once(b, r)
             half = coeffs.shape[0] // 2
@@ -211,8 +210,7 @@ def prove(com: WhirCommitment, values, x, state,
         zpt = jnp.stack(zc)                             # [zdims, 2]
         eqz = poly.beta_table(zpt)
         y_ood = F.fdot(v, eqz)
-        state = mimc.absorb(state, y_ood.reshape(1, 2))
-        state, gamma = mimc.squeeze1(state)
+        state, gamma = mimc.absorb_squeeze1(state, y_ood.reshape(1, 2))
         b = F.fadd(b, F.fmul(gamma[None, :], eqz))
         state, qs = mimc.expand(state, queries)
         next_m = coeffs.shape[0] * 2
@@ -275,8 +273,7 @@ def verify(root, proof: WhirProof, x, y, state,
             s0 = poly.eval_quadratic(c3, zero)
             s1 = poly.eval_quadratic(c3, one)
             ok = ok and bool(F.feq(F.fadd(s0, s1), claim))
-            state = mimc.absorb(state, c3)
-            state, r = mimc.squeeze1(state)
+            state, r = mimc.absorb_squeeze1(state, c3)
             claim = poly.eval_quadratic(c3, r)
             chals.append(r)
             # eq factor: beta fold at r against coordinate x_done
@@ -303,8 +300,7 @@ def verify(root, proof: WhirProof, x, y, state,
         ok = ok and y_ood is not None
         if y_ood is None:
             y_ood = jnp.zeros((2,), jnp.uint64)
-        state = mimc.absorb(state, y_ood.reshape(1, 2))
-        state, gamma = mimc.squeeze1(state)
+        state, gamma = mimc.absorb_squeeze1(state, y_ood.reshape(1, 2))
         claim = F.fadd(claim, F.fmul(gamma, y_ood))
         oods.append([gamma, zc, one, 0])
         state, qs = mimc.expand(state, queries)

@@ -6,22 +6,30 @@ src/Virgo.cpp:438,544) are never exercised by the small unit suites —
 this pins that the shape/compile paths survive q=700 at N=2^20 and
 records the proof size the schedule produces (VERDICT r3 weak #4).
 
-~2.5 min eager on one CPU core (measured); runs in the slow tier and
-under `-m production`.  Measured at this schedule: opening Ps = 1829 KB
-(path-dedup'd) vs the reference flagship's 1329.89 KB total.
+Runs in a SUBPROCESS with HOBBIT_JIT=0: the production shapes put the
+jitted whole-opening program in XLA:CPU's pathological slow-compile
+zone (cols ~2^15 WHIR replays take >30 min to compile on CPU), while
+eager per-op execution finishes in ~3 min.  On the TPU the jitted path
+is exercised by the flagship bench instead.
 """
 
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = [pytest.mark.slow, pytest.mark.production]
+
+_BODY = r"""
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 from hobbit_tpu.ops import field as F
 from hobbit_tpu.ops import mimc, poly
 from hobbit_tpu.pc import elastic
 from hobbit_tpu.pc import standard as std
 from hobbit_tpu.utils import metrics
-
-pytestmark = [pytest.mark.slow, pytest.mark.production]
 
 RNG = np.random.default_rng(4242)
 
@@ -32,27 +40,40 @@ def rand_field(n):
     return jnp.stack([jnp.asarray(re), jnp.asarray(im)], axis=-1)
 
 
+N, K, rows = 1 << 20, 16, 256
+params = std.make_params(N, K, rows, linear_time=False, queries=700)
+msg = rand_field(N)
+chunks = msg.reshape(K, params.B, 2)
+com = elastic.commit_stream(lambda i: chunks[i], params, full=msg)
+x = rand_field(20)
+
+opening, _ = elastic.open_stream_multi_recursive(
+    lambda i: chunks[i], com, [x], mimc.fresh_state(), full=msg,
+    sw_queries=240)
+ok, _, _ = elastic.verify_multi_recursive(
+    com.root, [x], opening, params, mimc.fresh_state(), sw_queries=240)
+assert bool(ok)
+np.testing.assert_array_equal(
+    np.asarray(opening.eval_claims[0]),
+    np.asarray(poly.evaluate_vector(msg, x)))
+
+ps = metrics.proof_size_kb(opening)
+raw = metrics.proof_size_kb(opening, dedup=False)
+print(f"production open Ps: dedup={ps:.1f} KB raw={raw:.1f} KB")
+# nothing B-sized is transmitted: the whole opening must stay far
+# below one chunk (B = 2^16 field elements = 1 MB)
+assert ps < 1024 * 8
+print("PRODUCTION-SCHEDULE OPEN OK")
+"""
+
+
 def test_elastic_recursive_open_production_schedule():
-    N, K, rows = 1 << 20, 16, 256
-    params = std.make_params(N, K, rows, linear_time=False, queries=700)
-    msg = rand_field(N)
-    chunks = msg.reshape(K, params.B, 2)
-    com = elastic.commit_stream(lambda i: chunks[i], params, full=msg)
-    x = rand_field(20)
-
-    opening, _ = elastic.open_stream_multi_recursive(
-        lambda i: chunks[i], com, [x], mimc.fresh_state(), full=msg,
-        sw_queries=240)
-    ok, _, _ = elastic.verify_multi_recursive(
-        com.root, [x], opening, params, mimc.fresh_state(), sw_queries=240)
-    assert bool(ok)
-    np.testing.assert_array_equal(
-        np.asarray(opening.eval_claims[0]),
-        np.asarray(poly.evaluate_vector(msg, x)))
-
-    ps = metrics.proof_size_kb(opening)
-    raw = metrics.proof_size_kb(opening, dedup=False)
-    print(f"\nproduction open Ps: dedup={ps:.1f} KB raw={raw:.1f} KB")
-    # nothing B-sized is transmitted: the whole opening must stay far
-    # below one chunk (B = 2^16 field elements = 1 MB)
-    assert ps < 1024 * 8
+    env = dict(os.environ)
+    env["HOBBIT_JIT"] = "0"
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", _BODY], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=3000)
+    assert "PRODUCTION-SCHEDULE OPEN OK" in out.stdout, (
+        out.stdout[-2000:], out.stderr[-2000:])
