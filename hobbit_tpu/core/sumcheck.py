@@ -79,6 +79,60 @@ def _product_sumcheck(arrays, state, extra_factors=None):
     return _product_sumcheck_scan(tuple(arrays), state)
 
 
+# Arrays above this length never appear as operands of ops inside a
+# While body: the TPU AOT compile service prices While-body ops ~5x a
+# straight-line op of the same shape AND proportionally to the operand
+# size, so a 2^22-length round body costs minutes of compile.  Rounds on
+# longer arrays run as a statically-unrolled prefix whose coefficient
+# sums and folds are inner ``lax.scan``s over <=2^18-element chunks —
+# transcripts are bit-identical (field addition is exact and
+# associative), only the lowering changes.
+_BIG_ROUND_LIMIT = 1 << 18
+
+
+def _chunked_round(vs, state):
+    """One product-sumcheck round over [k, n, 2]; ops stay <= chunk-size.
+
+    Returns (coeffs [k+1, 2], state after absorb, challenge r,
+    folded [k, n/2, 2])."""
+    k, n, _ = vs.shape
+    half = n // 2
+    ch = _BIG_ROUND_LIMIT // 2                     # pairs per chunk
+    C = max(1, half // ch)
+    ch = half // C
+    vsr = jnp.moveaxis(vs.reshape(k, C, 2 * ch, 2), 1, 0)  # [C, k, 2ch, 2]
+    ones = jnp.zeros((ch, 2), dtype=jnp.uint64).at[:, 0].set(1)
+
+    def coeff_chunk(acc, chunk):                   # chunk [k, 2ch, 2]
+        v0 = chunk[:, 0::2]
+        v1 = chunk[:, 1::2]
+        slope = F.fsub(v1, v0)
+        accp = [ones]
+        for j in range(k):
+            new = [None] * (len(accp) + 1)
+            for d, c in enumerate(accp):
+                t0 = F.fmul(c, v0[j])
+                t1 = F.fmul(c, slope[j])
+                new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
+                new[d + 1] = t1 if new[d + 1] is None \
+                    else F.fadd(new[d + 1], t1)
+            accp = new
+        sums = jnp.stack([F.fsum(c) for c in reversed(accp)])
+        return F.fadd(acc, sums), None
+
+    coeffs, _ = jax.lax.scan(
+        coeff_chunk, jnp.zeros((k + 1, 2), jnp.uint64), vsr)
+    state, r = mimc.absorb_squeeze1(state, coeffs)
+
+    def fold_chunk(_, chunk):
+        v0 = chunk[:, 0::2]
+        v1 = chunk[:, 1::2]
+        return None, F.fadd(v0, F.fmul(r[None, None, :], F.fsub(v1, v0)))
+
+    _, folded = jax.lax.scan(fold_chunk, None, vsr)  # [C, k, ch, 2]
+    return coeffs, state, r, jnp.moveaxis(folded, 0, 1).reshape(k, half, 2)
+
+
 @maybe_jit
 def _product_sumcheck_scan(arrays, state):
     n = arrays[0].shape[0]
@@ -91,6 +145,18 @@ def _product_sumcheck_scan(arrays, state):
         state = mimc.absorb(state, finals)
         return SumcheckProof(jnp.zeros((0, k + 1, 2), jnp.uint64),
                              jnp.zeros((0, 2), jnp.uint64), finals), state
+    big_polys, big_chals = [], []
+    while vs.shape[1] > _BIG_ROUND_LIMIT:
+        coeffs, state, r, vs = _chunked_round(vs, state)
+        big_polys.append(coeffs)
+        big_chals.append(r)
+    if big_polys:
+        proof, state = _product_sumcheck_scan(tuple(vs), state)
+        return SumcheckProof(
+            jnp.concatenate([jnp.stack(big_polys), proof.polys]),
+            jnp.concatenate([jnp.stack(big_chals), proof.challenges]),
+            proof.final_evals), state
+    n = vs.shape[1]
     idx = jnp.arange(n // 2, dtype=jnp.int32)
     ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
 
@@ -128,6 +194,59 @@ def _product_sumcheck_scan(arrays, state):
     return proof, state
 
 
+def _chunked_round_padded(vs, n_active, i_round: int, state):
+    """One MASKED round over padded [k, n, 2]; ops stay <= chunk-size.
+
+    Round ``i_round`` of the padded schedule: m_half = n_active >>
+    (i_round+1) pairs are active; an inactive round (m_half == 0) passes
+    state through and emits zeros, exactly like the scan body."""
+    k, n, _ = vs.shape
+    half = n // 2
+    ch = _BIG_ROUND_LIMIT // 2
+    C = max(1, half // ch)
+    ch = half // C
+    m_half = n_active >> (i_round + 1)
+    active = m_half > 0
+    vsr = jnp.moveaxis(vs.reshape(k, C, 2 * ch, 2), 1, 0)  # [C, k, 2ch, 2]
+    idxr = jnp.arange(half, dtype=jnp.int32).reshape(C, ch)
+    ones = jnp.zeros((ch, 2), dtype=jnp.uint64).at[:, 0].set(1)
+
+    def coeff_chunk(acc, xs):
+        chunk, idc = xs                            # [k, 2ch, 2], [ch]
+        mask = (idc < m_half)[:, None]
+        v0 = chunk[:, 0::2]
+        v1 = chunk[:, 1::2]
+        slope = F.fsub(v1, v0)
+        accp = [jnp.where(mask, ones, 0)]
+        for j in range(k):
+            new = [None] * (len(accp) + 1)
+            for d, c in enumerate(accp):
+                t0 = F.fmul(c, v0[j])
+                t1 = F.fmul(c, slope[j])
+                new[d] = t0 if new[d] is None else F.fadd(new[d], t0)
+                new[d + 1] = t1 if new[d + 1] is None \
+                    else F.fadd(new[d + 1], t1)
+            accp = new
+        sums = jnp.stack([F.fsum(c) for c in reversed(accp)])
+        return F.fadd(acc, sums), None
+
+    coeffs, _ = jax.lax.scan(
+        coeff_chunk, jnp.zeros((k + 1, 2), jnp.uint64), (vsr, idxr))
+    state2, r = mimc.absorb_squeeze1(state, coeffs)
+
+    def fold_chunk(_, chunk):
+        v0 = chunk[:, 0::2]
+        v1 = chunk[:, 1::2]
+        return None, F.fadd(v0, F.fmul(r[None, None, :], F.fsub(v1, v0)))
+
+    _, folded = jax.lax.scan(fold_chunk, None, vsr)  # [C, k, ch, 2]
+    folded = jnp.moveaxis(folded, 0, 1).reshape(k, half, 2)
+    vs_out = jnp.where(active, folded, vs[:, :half])
+    state_out = jnp.where(active, state2, state)
+    return (jnp.where(active, coeffs, 0), state_out,
+            jnp.where(active, r, 0), vs_out)
+
+
 @maybe_jit
 def _product_sumcheck_scan_padded(arrays, n_active, state):
     """Masked k-product sumcheck over ZERO-PADDED arrays.
@@ -143,6 +262,23 @@ def _product_sumcheck_scan_padded(arrays, n_active, state):
     k = len(arrays)
     vs = jnp.stack(arrays)                          # [k, n, 2]
     n_active = jnp.asarray(n_active, dtype=jnp.int32)
+    if n > _BIG_ROUND_LIMIT:
+        # chunked unrolled prefix (see _BIG_ROUND_LIMIT): shrink the pad
+        # to the limit, then one scan program serves the tail rounds
+        big_polys, big_chals = [], []
+        i_round = 0
+        while vs.shape[1] > _BIG_ROUND_LIMIT:
+            coeffs, state, r, vs = _chunked_round_padded(
+                vs, n_active, i_round, state)
+            big_polys.append(coeffs)
+            big_chals.append(r)
+            i_round += 1
+        proof, state = _product_sumcheck_scan_padded(
+            tuple(vs), jnp.maximum(n_active >> i_round, 0), state)
+        return SumcheckProof(
+            jnp.concatenate([jnp.stack(big_polys), proof.polys]),
+            jnp.concatenate([jnp.stack(big_chals), proof.challenges]),
+            proof.final_evals), state
     idx = jnp.arange(n // 2, dtype=jnp.int32)
     ones = jnp.zeros((n // 2, 2), dtype=jnp.uint64).at[:, 0].set(1)
 

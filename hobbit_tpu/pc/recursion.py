@@ -805,10 +805,24 @@ def rs_prove_group(V, cf, entries, segs, P2: int, B_slot: int,
             [W_full, jnp.zeros(((P2 - n_seg) * B_slot, 2), jnp.uint64)],
             axis=0)
 
+    import os as _os
+    import sys as _sys
+    import time as _t
+    _trace = _os.environ.get("HOBBIT_TRACE") == "1"
+    _tt = _t.perf_counter()
     p_main, state = sc.prove_2product(V, W_full, state)
+    if _trace:
+        jax.block_until_ready(state)
+        print(f"[rsg] merge N={V.shape[0]}: {_t.perf_counter()-_tt:.2f}s",
+              file=_sys.stderr, flush=True)
+        _tt = _t.perf_counter()
     sw_pts = _group_sw_points(p_main.challenges, entries, x_los_per_entry,
                               extras_per_entry, segs, P2, lbs)
     sw_open, state = sw.open_multi(cf, sw_pts, state, queries=sw_queries)
+    if _trace:
+        jax.block_until_ready(state)
+        print(f"[rsg] open_multi P={len(sw_pts)}: "
+              f"{_t.perf_counter()-_tt:.2f}s", file=_sys.stderr, flush=True)
     return GroupRecursionProof(p_main, sw_open), state
 
 

@@ -123,3 +123,58 @@ def test_mul_tree_rejects_tampered_output():
     bad = proof._replace(output=F.fadd(proof.output, F.scalar(1)[None, :]))
     ok, _, _ = mul_tree.verify(bad, mimc.fresh_state())
     assert not bool(ok)
+
+
+def _rand_vec(rng, n):
+    return jnp.asarray(
+        rng.integers(0, F.P, size=(n, 2), dtype=np.uint64))
+
+
+def test_chunked_big_rounds_transcript_identical(monkeypatch):
+    """Rounds above _BIG_ROUND_LIMIT run as chunk-wise unrolled programs;
+    the transcript (round polys, challenges, finals, sponge state) must be
+    BIT-identical to the single-scan lowering."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    n, k = 1024, 2
+    arrays = tuple(_rand_vec(rng, n) for _ in range(k))
+    state0 = mimc.fresh_state()
+
+    raw = sc._product_sumcheck_scan.__wrapped__
+    monkeypatch.setattr(sc, "_BIG_ROUND_LIMIT", 1 << 20)
+    plain, st_plain = jax.jit(raw)(arrays, state0)
+    monkeypatch.setattr(sc, "_BIG_ROUND_LIMIT", 256)
+    chunked, st_chunk = jax.jit(raw)(arrays, state0)
+
+    assert np.array_equal(np.asarray(plain.polys), np.asarray(chunked.polys))
+    assert np.array_equal(np.asarray(plain.challenges),
+                          np.asarray(chunked.challenges))
+    assert np.array_equal(np.asarray(plain.final_evals),
+                          np.asarray(chunked.final_evals))
+    assert np.array_equal(np.asarray(st_plain), np.asarray(st_chunk))
+
+
+def test_chunked_big_rounds_padded_transcript_identical(monkeypatch):
+    import jax
+
+    rng = np.random.default_rng(8)
+    N, k = 1024, 3
+    raw = sc._product_sumcheck_scan_padded.__wrapped__
+    state0 = mimc.fresh_state()
+    for n_active in (16, 256, 1024):
+        vecs = tuple(_rand_vec(rng, n_active) for _ in range(k))
+        arrays = tuple(
+            jnp.concatenate([v, jnp.zeros((N - n_active, 2), jnp.uint64)])
+            for v in vecs)
+        monkeypatch.setattr(sc, "_BIG_ROUND_LIMIT", 1 << 20)
+        plain, st_plain = jax.jit(raw)(arrays, n_active, state0)
+        monkeypatch.setattr(sc, "_BIG_ROUND_LIMIT", 256)
+        chunked, st_chunk = jax.jit(raw)(arrays, n_active, state0)
+        assert np.array_equal(np.asarray(plain.polys),
+                              np.asarray(chunked.polys))
+        assert np.array_equal(np.asarray(plain.challenges),
+                              np.asarray(chunked.challenges))
+        assert np.array_equal(np.asarray(plain.final_evals),
+                              np.asarray(chunked.final_evals))
+        assert np.array_equal(np.asarray(st_plain), np.asarray(st_chunk))
